@@ -1,0 +1,158 @@
+"""The bootstrap engine: one jitted, batched function per pipeline.
+
+Reference: evaluator/evaluator.go:110-157 (blind rotate -> sample extract ->
+key switch) and evaluator/gates_helper.go (affine gate preparations).  The
+reference maintains two engines (legacy trgsw/ and zero-alloc evaluator/);
+this framework has exactly one (SURVEY.md layering note).
+
+Everything below the public functions is traced once per (profile, batch
+shape) and compiled by XLA; throughput comes from the leading batch axes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .keys import CloudKey
+from .ops.blindrotate import blind_rotate, blind_rotate_tpu
+from .ops.keyswitch import identity_key_switch
+from .ops.sample_extract import sample_extract
+from .params import TFHEParams
+from .utils.torus import f64_to_torus
+
+Array = jax.Array
+
+# Batch tile of the Pallas blind rotate (pallas_extprod.extprod_pallas).
+_TPU_BATCH_TILE = 128
+
+# Affine-preparation bias constants (evaluator/gates_helper.go, gates/gates.go).
+_T_EIGHTH = int(f64_to_torus(0.125))
+_T_NEG_EIGHTH = int(f64_to_torus(-0.125))
+_T_QUARTER = int(f64_to_torus(0.25))
+
+
+def _use_tpu_path(p: TFHEParams) -> bool:
+    return (jax.default_backend() == "tpu" and p.digits_fit_int8
+            and p.n % 256 == 0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core(p: TFHEParams, key_switch: bool, bsk_kernel: Array,
+                    ksk: Array, ct: Array, testvec: Array) -> Array:
+    rotated = blind_rotate(p, bsk_kernel, ct, testvec)
+    lv1 = sample_extract(rotated, 0)
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
+                        ksk: Array, ct: Array, testvec: Array) -> Array:
+    """Pallas fast path; ct (B, n+1) with B a multiple of the batch tile."""
+    rotated = blind_rotate_tpu(p, bsk_band, ct, testvec)
+    lv1 = sample_extract(rotated, 0)
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
+               key_switch: bool) -> Array:
+    p = ck.params
+    tv = ck.testvec if testvec is None else testvec
+    if not (_use_tpu_path(p) and ck.bsk_band is not None):
+        return _bootstrap_core(p, key_switch, ck.bsk_kernel, ck.ksk, ct, tv)
+
+    # Pallas path: flatten leading batch dims and pad to the batch tile.
+    lead = ct.shape[:-1]
+    b = 1
+    for d in lead:
+        b *= d
+    ct2 = ct.reshape((b, ct.shape[-1]))
+    if tv.ndim > 2:
+        tv = tv.reshape((b, 2, p.n))
+    pad = (-b) % _TPU_BATCH_TILE
+    if pad:
+        ct2 = jnp.concatenate(
+            [ct2, jnp.zeros((pad, ct.shape[-1]), ct.dtype)], axis=0)
+        if tv.ndim > 2:
+            tv = jnp.concatenate(
+                [tv, jnp.zeros((pad, 2, p.n), tv.dtype)], axis=0)
+    out = _bootstrap_core_tpu(p, key_switch, ck.bsk_band, ck.ksk, ct2, tv)
+    if pad:
+        out = out[:b]
+    return out.reshape(lead + out.shape[1:])
+
+
+def bootstrap(ck: CloudKey, ct: Array, testvec: Array | None = None) -> Array:
+    """Full gate bootstrap: (..., lwe_n+1) -> (..., lwe_n+1)
+    (evaluator/evaluator.go:139-148)."""
+    return _bootstrap(ck, ct, testvec, key_switch=True)
+
+
+def bootstrap_without_key_switch(ck: CloudKey, ct: Array,
+                                 testvec: Array | None = None) -> Array:
+    """Blind rotate + sample extract only; result is under the level-1 key
+    (gates/gates.go:145-149).  Like the reference's SampleExtractIndex2
+    (trlwe/trlwe.go:133-154), reading it as a level-0 ciphertext is only
+    valid when n == lwe_n."""
+    return _bootstrap(ck, ct, testvec, key_switch=False)
+
+
+# ---------------------------------------------------------------------------
+# Gate preparations (affine pre-bootstrap combos).
+# ---------------------------------------------------------------------------
+
+def _with_bias(x: Array, bias: int) -> Array:
+    return x.at[..., -1].add(jnp.uint32(bias))
+
+
+def prepare_nand(a: Array, b: Array) -> Array:
+    """-(a+b) + 1/8  (evaluator/gates_helper.go:10-21)."""
+    return _with_bias(jnp.zeros_like(a) - (a + b), _T_EIGHTH)
+
+
+def prepare_and(a: Array, b: Array) -> Array:
+    """(a+b) - 1/8  (evaluator/gates_helper.go:24-35)."""
+    return _with_bias(a + b, _T_NEG_EIGHTH)
+
+
+def prepare_or(a: Array, b: Array) -> Array:
+    """(a+b) + 1/8  (evaluator/gates_helper.go:38-49)."""
+    return _with_bias(a + b, _T_EIGHTH)
+
+
+def prepare_xor(a: Array, b: Array) -> Array:
+    """(a+2b) + 1/4  (evaluator/gates_helper.go:52-63)."""
+    return _with_bias(a + b * jnp.uint32(2), _T_QUARTER)
+
+
+def prepare_xnor(a: Array, b: Array) -> Array:
+    """(a-2b) + 1/4  (gates/gates.go:52-58; the batch variant upstream uses
+    -1/4, which fails its own truth table — we keep the correct sign)."""
+    return _with_bias(a - b * jnp.uint32(2), _T_QUARTER)
+
+
+def prepare_nor(a: Array, b: Array) -> Array:
+    """-(a+b) - 1/8  (gates/gates.go:72-76)."""
+    return _with_bias(jnp.zeros_like(a) - (a + b), _T_NEG_EIGHTH)
+
+
+def prepare_andny(a: Array, b: Array) -> Array:
+    """(-a+b) - 1/8: NOT(a) AND b  (gates/gates.go:79-83)."""
+    return _with_bias(b - a, _T_NEG_EIGHTH)
+
+
+def prepare_andyn(a: Array, b: Array) -> Array:
+    """(a-b) - 1/8: a AND NOT(b)  (gates/gates.go:86-90)."""
+    return _with_bias(a - b, _T_NEG_EIGHTH)
+
+
+def prepare_orny(a: Array, b: Array) -> Array:
+    """(-a+b) + 1/8: NOT(a) OR b  (gates/gates.go:93-97)."""
+    return _with_bias(b - a, _T_EIGHTH)
+
+
+def prepare_oryn(a: Array, b: Array) -> Array:
+    """(a-b) + 1/8: a OR NOT(b)  (gates/gates.go:100-104)."""
+    return _with_bias(a - b, _T_EIGHTH)

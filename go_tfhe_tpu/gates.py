@@ -1,0 +1,92 @@
+"""Boolean gate API — batched natively.
+
+Reference: gates/gates.go.  Every gate here accepts ciphertexts with arbitrary
+leading batch axes, so the reference's ``Batch*`` functions
+(gates/gates.go:151-312) are just these same functions called on batches; no
+separate API is needed.  Gate = affine preparation + bootstrap
+(gates/gates.go:26-114).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import engine
+from .keys import CloudKey
+from .params import TFHEParams
+from .utils.torus import TORUS, f64_to_torus
+
+Array = jax.Array
+
+
+def NAND(ck: CloudKey, a: Array, b: Array) -> Array:
+    return engine.bootstrap(ck, engine.prepare_nand(a, b))
+
+
+def AND(ck: CloudKey, a: Array, b: Array) -> Array:
+    return engine.bootstrap(ck, engine.prepare_and(a, b))
+
+
+def OR(ck: CloudKey, a: Array, b: Array) -> Array:
+    return engine.bootstrap(ck, engine.prepare_or(a, b))
+
+
+def XOR(ck: CloudKey, a: Array, b: Array) -> Array:
+    return engine.bootstrap(ck, engine.prepare_xor(a, b))
+
+
+def XNOR(ck: CloudKey, a: Array, b: Array) -> Array:
+    return engine.bootstrap(ck, engine.prepare_xnor(a, b))
+
+
+def NOR(ck: CloudKey, a: Array, b: Array) -> Array:
+    return engine.bootstrap(ck, engine.prepare_nor(a, b))
+
+
+def ANDNY(ck: CloudKey, a: Array, b: Array) -> Array:
+    """NOT(a) AND b."""
+    return engine.bootstrap(ck, engine.prepare_andny(a, b))
+
+
+def ANDYN(ck: CloudKey, a: Array, b: Array) -> Array:
+    """a AND NOT(b)."""
+    return engine.bootstrap(ck, engine.prepare_andyn(a, b))
+
+
+def ORNY(ck: CloudKey, a: Array, b: Array) -> Array:
+    """NOT(a) OR b."""
+    return engine.bootstrap(ck, engine.prepare_orny(a, b))
+
+
+def ORYN(ck: CloudKey, a: Array, b: Array) -> Array:
+    """a OR NOT(b)."""
+    return engine.bootstrap(ck, engine.prepare_oryn(a, b))
+
+
+def NOT(a: Array) -> Array:
+    """Negation — no bootstrap needed (gates/gates.go:117-119)."""
+    return jnp.zeros_like(a) - a
+
+
+def COPY(a: Array) -> Array:
+    """gates/gates.go:122-126."""
+    return jnp.array(a)
+
+
+def MUX(ck: CloudKey, sel: Array, then_ct: Array, else_ct: Array) -> Array:
+    """sel ? then : else, composed from 3 gates (gates/gates.go:107-114)."""
+    and_ab = AND(ck, sel, then_ct)
+    and_nac = AND(ck, NOT(sel), else_ct)
+    return OR(ck, and_ab, and_nac)
+
+
+def constant(p: TFHEParams, value, batch_shape=()) -> Array:
+    """Trivial (noiseless) ciphertext of a constant boolean
+    (gates/gates.go:61-69: mu = T(1/8) if true else 1 - T(1/8))."""
+    t = int(f64_to_torus(0.125))
+    f = (1 - t) % (1 << 32)
+    value = jnp.broadcast_to(jnp.asarray(value, bool), batch_shape)
+    mu = jnp.where(value, jnp.uint32(t), jnp.uint32(f))
+    ct = jnp.zeros(value.shape + (p.lwe_n + 1,), TORUS)
+    return ct.at[..., p.lwe_n].set(mu)

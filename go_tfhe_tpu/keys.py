@@ -1,0 +1,177 @@
+"""Secret and cloud (evaluation) keys: generation, preparation, serialization.
+
+Reference: key/key.go (secret keys), cloudkey/cloudkey.go (testvec, KSK, BSK).
+The reference generates KSK/BSK entries with a goroutine per index
+(cloudkey/cloudkey.go:99-144); here the whole keygen is one batched jitted
+program.  Unlike the reference — which keeps keys only in process memory —
+keys are serializable to ``.npz`` (SURVEY.md flags this as a genuine
+capability gap: keygen is 5-10s upstream with nothing persisted).
+
+CloudKey carries the bootstrapping key in *convolution-kernel form* (the
+analogue of the reference's FFT form, trgsw/trgsw.go:71-82): int8 balanced
+limbs when the profile's gadget digits fit int8 (MXU fast path), int32
+otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cipher
+from .params import TFHEParams, get_params
+from .ops.pallas_extprod import pack_bsk_band
+from .ops.polymul import ext_band_from_trgsw
+from .utils.rng import binary_key
+from .utils.torus import TORUS, f64_to_torus
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SecretKey:
+    """Binary secret keys for both levels (key/key.go:10-13)."""
+    lv0: Array  # (lwe_n,) uint32 in {0,1}
+    lv1: Array  # (n,)     uint32 in {0,1}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CloudKey:
+    """Public evaluation key (cloudkey/cloudkey.go:16-21).
+
+    ``params`` is pytree metadata (static under jit), so jitted functions
+    taking a CloudKey re-specialize per profile automatically.
+    """
+    testvec: Array      # (2, N) uint32 — constant-1/8 test vector
+    ksk: Array          # (N, iks_t, base, lwe_n+1) uint32; [.., 0, :] == 0
+    bsk: Array          # (lwe_n, 2L, 2, N) uint32 — raw TRGSW form
+    bsk_kernel: Array   # portable form: (lwe_n, 2L, 2, 2N) int32 signed
+    #                     D bands for the Toeplitz-einsum external product
+    bsk_band: Optional[Array]  # (lwe_n, 2, 2L, 2N+tn) int32 limb-packed bands
+    #                            for the Pallas TPU path; None when digits
+    #                            don't fit int8
+    params: TFHEParams = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def decomposition_offset(self) -> int:
+        return self.params.decomposition_offset
+
+
+def gen_secret_key(rng: Array, p: TFHEParams) -> SecretKey:
+    """key/key.go:16-45."""
+    k0, k1 = jax.random.split(rng)
+    return SecretKey(lv0=binary_key(k0, p.lwe_n), lv1=binary_key(k1, p.n))
+
+
+def gen_testvec(p: TFHEParams) -> Array:
+    """Constant 1/8 test vector: A = 0, B[i] = T(1/8) for all i
+    (cloudkey/cloudkey.go:74-85)."""
+    b = np.full((p.n,), f64_to_torus(0.125), dtype=np.uint32)
+    return jnp.stack([jnp.zeros((p.n,), TORUS), jnp.asarray(b)])
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _gen_ksk(rng: Array, p: TFHEParams, sk: SecretKey) -> Array:
+    """KSK[i,j,k] encrypts k * s1[i] / 2^((j+1)*basebit); k==0 rows are zero
+    ciphertexts (cloudkey/cloudkey.go:88-120)."""
+    ks = jnp.arange(p.base, dtype=jnp.uint32)
+    shifts = jnp.asarray([32 - (j + 1) * p.basebit for j in range(p.iks_t)],
+                         dtype=jnp.uint32)
+    # mu[i, j, k] = (k * s1[i]) << (32 - (j+1)*basebit), exact dyadic torus.
+    mu = (ks[None, None, :] * sk.lv1[:, None, None]) << shifts[None, :, None]
+    ct = cipher.lwe_encrypt_torus(rng, mu, p.ksk_alpha, sk.lv0)
+    mask = (ks > 0)[None, None, :, None]
+    return jnp.where(mask, ct, jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _gen_bsk(rng: Array, p: TFHEParams, sk: SecretKey) -> Array:
+    """BSK[i] = TRGSW encryption of LWE key bit s0[i]
+    (cloudkey/cloudkey.go:123-145)."""
+    return cipher.trgsw_encrypt_torus(rng, sk.lv0, p.bsk_alpha, sk.lv1, p)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def prepare_bootstrap_kernels(bsk: Array, p: TFHEParams) -> Array:
+    """Raw BSK -> signed D bands (the 'FFT form' analogue) for the portable
+    Toeplitz-einsum external product."""
+    del p
+    return ext_band_from_trgsw(bsk)             # (n0, 2L, 2, 2N) int32
+
+
+def _maybe_band(bsk: Array, p: TFHEParams) -> Optional[Array]:
+    """Limb-packed bands for the Pallas TPU blind rotate (pallas_extprod)."""
+    if p.digits_fit_int8 and p.n % 256 == 0:
+        return pack_bsk_band(bsk)
+    return None
+
+
+def gen_cloud_key(rng: Array, sk: SecretKey, p: TFHEParams) -> CloudKey:
+    """cloudkey/cloudkey.go:24-31 (DecompositionOffset lives in params)."""
+    k_ksk, k_bsk = jax.random.split(rng)
+    bsk = _gen_bsk(k_bsk, p, sk)
+    return CloudKey(
+        testvec=gen_testvec(p),
+        ksk=_gen_ksk(k_ksk, p, sk),
+        bsk=bsk,
+        bsk_kernel=prepare_bootstrap_kernels(bsk, p),
+        bsk_band=_maybe_band(bsk, p),
+        params=p,
+    )
+
+
+def gen_cloud_key_no_ksk(p: TFHEParams) -> CloudKey:
+    """All-zero dummy keys for tests (cloudkey/cloudkey.go:34-57)."""
+    bsk = jnp.zeros((p.lwe_n, 2 * p.l, 2, p.n), TORUS)
+    return CloudKey(
+        testvec=gen_testvec(p),
+        ksk=jnp.zeros((p.n, p.iks_t, p.base, p.lwe_n + 1), TORUS),
+        bsk=bsk,
+        bsk_kernel=prepare_bootstrap_kernels(bsk, p),
+        bsk_band=_maybe_band(bsk, p),
+        params=p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serialization (new capability vs. the reference).
+# ---------------------------------------------------------------------------
+
+def save_secret_key(path: str, sk: SecretKey) -> None:
+    np.savez_compressed(path, lv0=np.asarray(sk.lv0), lv1=np.asarray(sk.lv1))
+
+
+def load_secret_key(path: str) -> SecretKey:
+    z = np.load(path)
+    return SecretKey(lv0=jnp.asarray(z["lv0"]), lv1=jnp.asarray(z["lv1"]))
+
+
+def save_cloud_key(path: str, ck: CloudKey) -> None:
+    np.savez_compressed(
+        path,
+        profile=np.asarray(ck.params.name),
+        testvec=np.asarray(ck.testvec),
+        ksk=np.asarray(ck.ksk),
+        bsk=np.asarray(ck.bsk),
+    )
+
+
+def load_cloud_key(path: str) -> CloudKey:
+    z = np.load(path)
+    p = get_params(str(z["profile"]))
+    bsk = jnp.asarray(z["bsk"])
+    return CloudKey(
+        testvec=jnp.asarray(z["testvec"]),
+        ksk=jnp.asarray(z["ksk"]),
+        bsk=bsk,
+        bsk_kernel=prepare_bootstrap_kernels(bsk, p),
+        bsk_band=_maybe_band(bsk, p),
+        params=p,
+    )

@@ -1,0 +1,105 @@
+"""Blind rotation — the bootstrap hot loop, batched over ciphertexts.
+
+Reference: evaluator/evaluator.go:110-135 (and the legacy allocating engine at
+trgsw/trgsw.go:197-224).  Per input LWE coefficient the accumulator is rotated
+by the mod-switched coefficient and CMUXed with the corresponding
+bootstrapping-key row.  The n_lwe iterations are inherently sequential (each
+CMUX feeds the next), so on TPU the loop is a ``lax.fori_loop`` inside one jit
+and *throughput* comes from the batch axis: every step is a batched rotation +
+one MXU convolution over all B ciphertexts at once (this replaces the
+reference's goroutine-per-ciphertext fan-out, trgsw/trgsw.go:227-252).
+
+Mod switch (evaluator/evaluator.go:116,122):
+    b~ = 2N - ((b + 2^(31-NBIT-1)) >> (32-NBIT-1))
+    a~ =      ((a + 2^(31-NBIT-1)) >> (32-NBIT-1))
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..params import TFHEParams
+from .extprod import cmux
+from .pallas_extprod import extprod_pallas
+from .rotate import monomial_mul, monomial_mul_log
+
+Array = jax.Array
+
+
+def mod_switch_2n(x_u32: Array, p: TFHEParams) -> Array:
+    """Torus -> [0, 2N] rounding mod-switch; returns int32."""
+    return ((x_u32 + jnp.uint32(p.mod_switch_offset))
+            >> jnp.uint32(p.mod_switch_shift)).astype(jnp.int32)
+
+
+def blind_rotate(p: TFHEParams, bsk_bands: Array, ct: Array,
+                 testvec: Array) -> Array:
+    """Blind-rotate a batch of LWE ciphertexts (portable path).
+
+    bsk_bands: (n_lwe, 2L, 2, 2N) int32 signed D bands from keygen.
+    ct:        (..., n_lwe+1) uint32 LWE ciphertexts (last word = b).
+    testvec:   (2, N) or (..., 2, N) uint32 test vector (shared or per-ct,
+               the latter for per-ciphertext PBS LUTs).
+
+    Returns (..., 2, N) uint32 TRLWE accumulators.
+    """
+    n_lwe = p.lwe_n
+    lead = ct.shape[:-1]
+
+    b_tilda = 2 * p.n - mod_switch_2n(ct[..., n_lwe], p)       # (...,)
+    acc = monomial_mul(
+        jnp.broadcast_to(testvec, lead + (2, p.n)), b_tilda[..., None])
+
+    a_tilda = mod_switch_2n(ct[..., :n_lwe], p)                # (..., n_lwe)
+
+    def body(i, acc):
+        rotated = monomial_mul(acc, a_tilda[..., i][..., None])
+        band = lax.dynamic_index_in_dim(bsk_bands, i, axis=0, keepdims=False)
+        return cmux(p, band, acc, rotated)
+
+    return lax.fori_loop(0, n_lwe, body, acc)
+
+
+def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
+                     testvec: Array) -> Array:
+    """TPU fast path: log-rotation + Pallas bf16 MXU external product.
+
+    Same math as :func:`blind_rotate` (bit-exact), but the accumulator lives
+    in channel-major (2, B, N) layout to match the Pallas kernel's output
+    tiling, and rotations use the bit-decomposed static-shift form.
+
+    bsk_band: (n_lwe, 2, 2L, 2N+tn) int32 limb-packed bands (keys.py).
+    ct:       (B, n_lwe+1) uint32, B a multiple of the kernel batch tile.
+    testvec:  (2, N) or (B, 2, N) uint32.
+
+    Returns (B, 2, N) uint32.
+    """
+    n_lwe = p.lwe_n
+    b = ct.shape[0]
+    shifts = jnp.asarray(
+        [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
+
+    b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p)          # (B,)
+    if testvec.ndim == 2:
+        tv = jnp.broadcast_to(testvec[:, None, :], (2, b, p.n))
+    else:
+        tv = jnp.moveaxis(testvec, 0, 1)
+    acc = monomial_mul_log(tv, b_tilda[None, :])                # (2, B, N)
+
+    a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
+
+    def body(i, acc):
+        rotated = monomial_mul_log(acc, a_tilda[:, i][None, :])
+        diff = rotated - acc                                    # (2, B, N)
+        # gadget decomposition, rows [A-levels, B-levels] (c-major):
+        tmp = diff + jnp.uint32(p.decomposition_offset)
+        d = (tmp[:, :, None, :] >> shifts[:, None]) & jnp.uint32(p.bg - 1)
+        d = (d.astype(jnp.int32) - p.half_bg).astype(jnp.int8)  # (2,B,L,N)
+        digits = jnp.moveaxis(d, 1, 0).reshape(b, 2 * p.l, p.n)
+        band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
+        return acc + extprod_pallas(digits, band_i, half_bg=p.half_bg)
+
+    acc = lax.fori_loop(0, n_lwe, body, acc)
+    return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

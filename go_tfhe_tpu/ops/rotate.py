@@ -1,0 +1,73 @@
+"""Negacyclic monomial multiplication  p(X) -> X^k * p(X).
+
+Batched TPU replacement for ``polyMulWithXKInPlace`` (trgsw/trgsw.go:254-282,
+poly/buffer_methods.go:133-164).  The rotation amount ``k`` is a traced value
+(it comes from mod-switched ciphertext coefficients) and differs per batch
+element, so this is a per-row gather plus a sign mask — pure VPU work.
+
+Faithful to the reference, the wrapped coefficients use the cheap negation
+``^Torus(0) - a`` (bitwise NOT, i.e. -a-1 mod 2^32) rather than exact -a; the
+1-ulp offset is far below the noise floor and keeping it preserves bit-exact
+parity with Go on deterministic sub-kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.torus import torus_not
+
+Array = jax.Array
+
+
+def monomial_mul(poly: Array, k: Array) -> Array:
+    """Multiply polynomials by X^k (negacyclic, NOT-negation).
+
+    poly: (..., N) uint32.
+    k:    int32, broadcastable to poly.shape[:-1]; interpreted mod 2N.
+
+    For k in [0, N):   out[i] = p[i-k]        for i >= k
+                       out[i] = ~p[i-k+N]     for i <  k
+    For k in [N, 2N):  signs flipped (trgsw/trgsw.go:262-281).
+    """
+    n = poly.shape[-1]
+    k = jnp.asarray(k, jnp.int32)
+    k2 = jnp.mod(k, 2 * n)
+    r = jnp.mod(k2, n)[..., None]                       # (..., 1)
+    flip = (k2 >= n)[..., None]                         # (..., 1)
+    i = jnp.arange(n, dtype=jnp.int32)
+    src = jnp.mod(i - r, n)                             # (..., N)
+    gathered = jnp.take_along_axis(
+        jnp.broadcast_to(poly, jnp.broadcast_shapes(poly.shape, src.shape)),
+        src, axis=-1)
+    neg = (i < r) ^ flip
+    return jnp.where(neg, torus_not(gathered), gathered)
+
+
+def monomial_mul_log(poly: Array, k: Array) -> Array:
+    """Rotation by X^k via bit decomposition of k — TPU fast path.
+
+    Composes static rotations by 2^j selected by the bits of k.  Dynamic
+    per-row gathers are catastrophically slow on TPU; static shifts compile
+    to slice+concat and the per-bit select is pure VPU work.
+
+    Bit-exact with :func:`monomial_mul` for any k (mod 2N): each wraparound
+    applies x -> ~x = -x-1; composing w wraps yields x when w is even and
+    ~x when odd — identical to the single-rotation rule, for every
+    coefficient and any bit pattern.
+    """
+    n = poly.shape[-1]
+    nbit = n.bit_length() - 1
+    k = jnp.asarray(k, jnp.int32)
+    out = poly
+    for j in range(nbit + 1):                           # shifts 1, 2, ..., N
+        s = 1 << j
+        if s < n:
+            rolled = jnp.concatenate(
+                [torus_not(out[..., n - s:]), out[..., :n - s]], axis=-1)
+        else:                                           # X^N == -1
+            rolled = torus_not(out)
+        bit = (((k >> j) & 1) > 0)[..., None]
+        out = jnp.where(bit, rolled, out)
+    return out
