@@ -274,10 +274,22 @@ TEST_PBS = TFHEParams(
     message_modulus=8,
 )
 
+# messageModulus=32 test profile (the Uint5 shape at toy sizes) for the PBS
+# nibble adder.  Error budget: half-segment 1/128; mod-switch error
+# (lwe_n+1)/(4N) ~= 0.0042 + decomposition tail lwe_n*N*2^-(l*bgbit+1)
+# ~= 0.0005 stays well inside.
+TEST_NIBBLE = TFHEParams(
+    name="test_nibble",
+    lwe_n=16, lwe_alpha=1.0 / (1 << 28),
+    n=1024, lv1_alpha=1.0 / (1 << 32), nbit=10,
+    bgbit=8, l=3, basebit=4, iks_t=7, block_size=1,
+    message_modulus=32,
+)
+
 PROFILES: Dict[str, TFHEParams] = {
     p.name: p
     for p in (P80, P110, P128, UINT1, UINT2, UINT3, UINT4, UINT5, UINT6,
-              UINT7, UINT8, TEST_FAST, TEST_PBS)
+              UINT7, UINT8, TEST_FAST, TEST_PBS, TEST_NIBBLE)
 }
 
 # Aliases mirroring the reference enum names (params/params.go:32-44).
