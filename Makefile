@@ -1,0 +1,26 @@
+# go_tfhe_tpu build/test targets (reference analogue: /root/reference/Makefile)
+
+PY ?= python
+
+.PHONY: test test-quick test-slow bench examples entry-check lint
+
+test:            ## full test suite (CPU, 8 virtual devices)
+	$(PY) -m pytest tests/ -q
+
+test-quick:      ## fast tests only
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-slow:       ## long-running end-to-end tests
+	$(PY) -m pytest tests/ -q -m slow
+
+bench:           ## headline benchmark (one JSON line)
+	$(PY) bench.py
+
+examples:        ## run all examples on the small test profiles
+	$(PY) examples/simple_gates.py
+	$(PY) examples/programmable_bootstrap.py
+	$(PY) examples/add_two_numbers.py --batch 2
+	$(PY) examples/proxy_reencryption.py
+
+entry-check:     ## driver entry points: compile check + multichip dry run
+	$(PY) __graft_entry__.py

@@ -41,20 +41,21 @@ def main() -> None:
         return core(p, True, bsk, ck.ksk, engine.prepare_nand(a, b),
                     ck.testvec)
 
-    # Warm-up / compile.
+    # Warm-up / compile.  NOTE: device completion is forced by a host
+    # readback, not block_until_ready (which does not block through the
+    # axon tunnel).
     out = nand(ct, ct)
-    out.block_until_ready()
 
     # Correctness gate: a benchmark of wrong answers is worthless.
     dec = np.asarray(tfhe.lwe_decrypt_bool(out, sk.lv0))
     assert (dec == ~bits).all(), "NAND(a,a) must equal NOT a"
 
-    # Timed steady-state runs.
+    # Timed steady-state runs; sequential device stream, one readback at end.
     reps = 5 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(reps):
         out = nand(ct, ct)
-    out.block_until_ready()
+    _ = np.asarray(out[0, :1])
     dt = (time.perf_counter() - t0) / reps
 
     value = batch / dt

@@ -8,6 +8,10 @@ Run:  python examples/simple_gates.py [--profile 128bit]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import time
 
 import jax
