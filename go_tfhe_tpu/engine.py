@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from .keys import CloudKey
-from .ops.blindrotate import blind_rotate, blind_rotate_tpu
+from .ops.blindrotate import (blind_rotate, blind_rotate_extended,
+                              blind_rotate_tpu)
 from .ops.keyswitch import identity_key_switch
 from .ops.sample_extract import sample_extract
 from .params import TFHEParams
@@ -48,6 +49,16 @@ def _bootstrap_core(p: TFHEParams, key_switch: bool, bsk_kernel: Array,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_ext(p: TFHEParams, key_switch: bool, bsk_kernel: Array,
+                        ksk: Array, ct: Array, lut_blocks: Array) -> Array:
+    """Extended-LUT bootstrap (LookUpTableSize = polyExtendFactor * N) —
+    the Uint6-8 capability the reference never implemented."""
+    rotated = blind_rotate_extended(p, bsk_kernel, ct, lut_blocks)
+    lv1 = sample_extract(rotated[..., 0, :, :], 0)   # big-poly coeff 0
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def _bootstrap_core_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
                         ksk: Array, ct: Array, testvec: Array) -> Array:
     """Pallas fast path; ct (B, n+1) with B a multiple of the batch tile."""
@@ -60,6 +71,9 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
                key_switch: bool) -> Array:
     p = ck.params
     tv = ck.testvec if testvec is None else testvec
+    if p.poly_extend_factor > 1:
+        return _bootstrap_core_ext(p, key_switch, ck.bsk_kernel, ck.ksk, ct,
+                                   tv)
     if not (_use_tpu_path(p) and ck.bsk_band is not None):
         return _bootstrap_core(p, key_switch, ck.bsk_kernel, ck.ksk, ct, tv)
 

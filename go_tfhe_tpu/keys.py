@@ -72,9 +72,13 @@ def gen_secret_key(rng: Array, p: TFHEParams) -> SecretKey:
 
 def gen_testvec(p: TFHEParams) -> Array:
     """Constant 1/8 test vector: A = 0, B[i] = T(1/8) for all i
-    (cloudkey/cloudkey.go:74-85)."""
-    b = np.full((p.n,), f64_to_torus(0.125), dtype=np.uint32)
-    return jnp.stack([jnp.zeros((p.n,), TORUS), jnp.asarray(b)])
+    (cloudkey/cloudkey.go:74-85).  For extended profiles
+    (poly_extend_factor k > 1) the big constant polynomial interleaves into
+    k identical constant blocks, shape (k, 2, N)."""
+    k = p.poly_extend_factor
+    tv = np.zeros((k, 2, p.n), np.uint32)
+    tv[:, 1, :] = f64_to_torus(0.125)
+    return jnp.asarray(tv[0] if k == 1 else tv)
 
 
 @functools.partial(jax.jit, static_argnums=1)

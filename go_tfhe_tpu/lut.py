@@ -63,9 +63,12 @@ class Encoder:
 class Generator:
     """LUT generator (lut/generator.go:10-28).
 
-    Note: like the reference, LookUpTableSize == PolyDegree (extended LUTs
-    for Uint6-8 are a params-level promise the reference never implemented —
-    lut/generator.go:19-21, params/UINT_STATUS.md).
+    Unlike the reference — where LookUpTableSize == PolyDegree always and
+    the extended LUTs promised for Uint6-8 are unimplemented
+    (lut/generator.go:19-21, params/UINT_STATUS.md:20-31) — this generator
+    builds real extended tables when ``poly_extend_factor > 1``: the
+    size-kN table is interleaved into k trivial TRLWE blocks consumed by
+    :func:`go_tfhe_tpu.ops.blindrotate.blind_rotate_extended`.
     """
 
     def __init__(self, p: TFHEParams, message_modulus: int | None = None,
@@ -74,7 +77,8 @@ class Generator:
         self.params = p
         self.encoder = Encoder(m, scale)
         self.poly_degree = p.n
-        self.lut_size = p.n
+        self.extend_factor = p.poly_extend_factor
+        self.lut_size = p.lut_size
 
     # -- core table construction (lut/generator.go:56-100) ------------------
 
@@ -91,8 +95,15 @@ class Generator:
         rotated = np.roll(raw, -offset)          # rotated[i] = raw[i+offset]
         rotated[size - offset:] = (-rotated[size - offset:].astype(np.int64)
                                    ).astype(np.uint32)
-        lut = np.zeros((2, size), np.uint32)
-        lut[1] = rotated
+        k = self.extend_factor
+        if k == 1:
+            lut = np.zeros((2, size), np.uint32)
+            lut[1] = rotated
+        else:
+            # Interleave big[j] -> block[j % k][j // k] (monomial_mul_blocks
+            # layout): blocks = (k, N).
+            lut = np.zeros((k, 2, self.poly_degree), np.uint32)
+            lut[:, 1, :] = rotated.reshape(self.poly_degree, k).T
         return jnp.asarray(lut)
 
     def gen_lut(self, f: Callable[[int], int]) -> Array:

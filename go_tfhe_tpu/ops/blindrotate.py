@@ -21,9 +21,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..params import TFHEParams
-from .extprod import cmux
+from .decompose import gadget_decompose
+from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
-from .rotate import monomial_mul, monomial_mul_log
+from .rotate import monomial_mul, monomial_mul_blocks, monomial_mul_log
 
 Array = jax.Array
 
@@ -32,6 +33,22 @@ def mod_switch_2n(x_u32: Array, p: TFHEParams) -> Array:
     """Torus -> [0, 2N] rounding mod-switch; returns int32."""
     return ((x_u32 + jnp.uint32(p.mod_switch_offset))
             >> jnp.uint32(p.mod_switch_shift)).astype(jnp.int32)
+
+
+def mod_switch_general(x_u32: Array, modulus: int) -> Array:
+    """Torus -> [0, modulus] rounding mod-switch for ANY modulus <= 2^17.
+
+    ms(x) = floor((x*M + 2^31) / 2^32), computed exactly in uint32 by
+    splitting x into 16-bit halves (needed for non-power-of-two extended
+    LUT sizes, e.g. Uint8's polyExtendFactor=9 -> 2kN = 36864).
+    Coincides bit-exactly with the shift form when M is a power of two.
+    """
+    assert modulus <= 1 << 17
+    m = jnp.uint32(modulus)
+    a_hi = x_u32 >> jnp.uint32(16)
+    a_lo = x_u32 & jnp.uint32(0xFFFF)
+    acc = a_hi * m + ((a_lo * m) >> jnp.uint32(16)) + jnp.uint32(1 << 15)
+    return (acc >> jnp.uint32(16)).astype(jnp.int32)
 
 
 def blind_rotate(p: TFHEParams, bsk_bands: Array, ct: Array,
@@ -58,6 +75,44 @@ def blind_rotate(p: TFHEParams, bsk_bands: Array, ct: Array,
         rotated = monomial_mul(acc, a_tilda[..., i][..., None])
         band = lax.dynamic_index_in_dim(bsk_bands, i, axis=0, keepdims=False)
         return cmux(p, band, acc, rotated)
+
+    return lax.fori_loop(0, n_lwe, body, acc)
+
+
+def blind_rotate_extended(p: TFHEParams, bsk_bands: Array, ct: Array,
+                          lut_blocks: Array) -> Array:
+    """Blind rotation over an EXTENDED look-up table of size k*N.
+
+    Implements the polyExtendFactor mechanism the reference advertises for
+    Uint6-8 but never built (params/UINT_STATUS.md:20-31,
+    lut/generator.go:19-21): the accumulator is a vector of k TRLWE blocks
+    storing the interleaved big polynomial (see monomial_mul_blocks); each
+    CMUX applies the same TRGSW external product block-wise; the mod switch
+    targets [0, 2kN).
+
+    bsk_bands:  (n_lwe, 2L, 2, 2N) int32 signed D bands.
+    ct:         (..., n_lwe+1) uint32.
+    lut_blocks: (k, 2, N) or (..., k, 2, N) uint32 trivial TRLWE blocks.
+
+    Returns (..., k, 2, N) uint32; the bootstrap result is block 0's
+    sample extraction at index 0 (big-poly coefficient 0 lives there).
+    """
+    n_lwe = p.lwe_n
+    k = p.poly_extend_factor
+    big_mod = 2 * k * p.n
+    lead = ct.shape[:-1]
+
+    b_tilda = big_mod - mod_switch_general(ct[..., n_lwe], big_mod)
+    acc = monomial_mul_blocks(
+        jnp.broadcast_to(lut_blocks, lead + (k, 2, p.n)), b_tilda, k)
+
+    a_tilda = mod_switch_general(ct[..., :n_lwe], big_mod)   # (..., n_lwe)
+
+    def body(i, acc):
+        rotated = monomial_mul_blocks(acc, a_tilda[..., i], k)
+        band = lax.dynamic_index_in_dim(bsk_bands, i, axis=0, keepdims=False)
+        # Block-wise CMUX: k is just another batch axis for the contraction.
+        return acc + external_product(p, band, rotated - acc)
 
     return lax.fori_loop(0, n_lwe, body, acc)
 

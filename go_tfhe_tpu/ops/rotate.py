@@ -45,6 +45,35 @@ def monomial_mul(poly: Array, k: Array) -> Array:
     return jnp.where(neg, torus_not(gathered), gathered)
 
 
+def monomial_mul_blocks(acc: Array, t: Array, k: int) -> Array:
+    """Rotate an *extended* (degree k*N) negacyclic polynomial by X^t.
+
+    The big polynomial P(X) mod X^(kN)+1 is stored interleaved as k blocks
+    P_r(Y) with Y = X^k:  P(X) = sum_r X^r P_r(X^k), i.e.
+    big[j] == block[j % k][j // k].  Rotation by X^t is then a block
+    permutation plus per-block negacyclic Y-rotations:
+
+        out_block[r'] = Y^q * block[r],  r = (r'-t) mod k,  q = (t+r-r')/k
+
+    (q >= 0 because t >= 0 and t+r-r' is a multiple of k greater than -k).
+    This is the mechanism behind LookUpTableSize = polyExtendFactor * N —
+    the feature the reference's params advertise for Uint6-8 but never
+    implement (lut/generator.go:19-21, params/UINT_STATUS.md:20-31).
+
+    acc: (..., k, C, N) uint32 (C = 2 for TRLWE blocks).
+    t:   int32, broadcastable to acc.shape[:-3]; interpreted mod 2kN.
+    """
+    n = acc.shape[-1]
+    t = jnp.mod(jnp.asarray(t, jnp.int32), 2 * k * n)
+    r_out = jnp.arange(k, dtype=jnp.int32)                      # (k,)
+    r_src = jnp.mod(r_out - t[..., None], k)                    # (..., k)
+    q = (t[..., None] + r_src - r_out) // k                     # (..., k)
+    idx = jnp.broadcast_to(r_src[..., None, None],
+                           acc.shape[:-3] + (k,) + acc.shape[-2:])
+    gathered = jnp.take_along_axis(acc, idx, axis=-3)
+    return monomial_mul(gathered, q[..., None])                 # over (C, N)
+
+
 def monomial_mul_log(poly: Array, k: Array) -> Array:
     """Rotation by X^k via bit decomposition of k — TPU fast path.
 

@@ -286,10 +286,30 @@ TEST_NIBBLE = TFHEParams(
     message_modulus=32,
 )
 
+# Extended-LUT toy profiles (poly_extend_factor > 1): k=2 exercises the
+# power-of-two mod switch, k=3 the general multiply-based one (the Uint8
+# production profile has k=9, also non-power-of-two).
+TEST_EXT2 = TFHEParams(
+    name="test_ext2",
+    lwe_n=16, lwe_alpha=1.0 / (1 << 28),
+    n=256, lv1_alpha=1.0 / (1 << 31), nbit=8,
+    bgbit=8, l=3, basebit=4, iks_t=6, block_size=1,
+    message_modulus=16, poly_extend_factor=2,
+)
+
+TEST_EXT3 = TFHEParams(
+    name="test_ext3",
+    lwe_n=16, lwe_alpha=1.0 / (1 << 28),
+    n=256, lv1_alpha=1.0 / (1 << 31), nbit=8,
+    bgbit=8, l=3, basebit=4, iks_t=6, block_size=1,
+    message_modulus=12, poly_extend_factor=3,
+)
+
 PROFILES: Dict[str, TFHEParams] = {
     p.name: p
     for p in (P80, P110, P128, UINT1, UINT2, UINT3, UINT4, UINT5, UINT6,
-              UINT7, UINT8, TEST_FAST, TEST_PBS, TEST_NIBBLE)
+              UINT7, UINT8, TEST_FAST, TEST_PBS, TEST_NIBBLE, TEST_EXT2,
+              TEST_EXT3)
 }
 
 # Aliases mirroring the reference enum names (params/params.go:32-44).
