@@ -36,8 +36,10 @@ _T_QUARTER = int(f64_to_torus(0.25))
 
 
 def _use_tpu_path(p: TFHEParams) -> bool:
-    return (jax.default_backend() == "tpu" and p.digits_fit_int8
-            and p.n % 256 == 0)
+    """The Pallas fast path covers every non-extended profile whose N tiles
+    the kernel (multi-limb digits handle BGBIT > 8, see blind_rotate_tpu)."""
+    return (jax.default_backend() == "tpu" and p.n % 256 == 0
+            and p.poly_extend_factor == 1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

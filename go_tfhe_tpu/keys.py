@@ -112,7 +112,7 @@ def prepare_bootstrap_kernels(bsk: Array, p: TFHEParams) -> Array:
 
 def _maybe_band(bsk: Array, p: TFHEParams) -> Optional[Array]:
     """Limb-packed bands for the Pallas TPU blind rotate (pallas_extprod)."""
-    if p.digits_fit_int8 and p.n % 256 == 0:
+    if p.n % 256 == 0 and p.poly_extend_factor == 1:
         return pack_bsk_band(bsk)
     return None
 

@@ -24,6 +24,7 @@ from ..params import TFHEParams
 from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
+from .polymul import split_signed_limbs_i8
 from .rotate import monomial_mul, monomial_mul_blocks, monomial_mul_log
 
 Array = jax.Array
@@ -145,16 +146,28 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
 
     a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
 
+    nd = p.digit_limbs
+
     def body(i, acc):
         rotated = monomial_mul_log(acc, a_tilda[:, i][None, :])
         diff = rotated - acc                                    # (2, B, N)
         # gadget decomposition, rows [A-levels, B-levels] (c-major):
         tmp = diff + jnp.uint32(p.decomposition_offset)
         d = (tmp[:, :, None, :] >> shifts[:, None]) & jnp.uint32(p.bg - 1)
-        d = (d.astype(jnp.int32) - p.half_bg).astype(jnp.int8)  # (2,B,L,N)
-        digits = jnp.moveaxis(d, 1, 0).reshape(b, 2 * p.l, p.n)
+        d32 = d.astype(jnp.int32) - p.half_bg                   # (2,B,L,N)
+        if nd == 1:
+            digits = jnp.moveaxis(d32.astype(jnp.int8), 1, 0).reshape(
+                b, 2 * p.l, p.n)
+            limb_mag = p.half_bg
+        else:
+            # Large digits (BGBIT > 8, the Uint profiles): exact signed
+            # base-256 limbs; the kernel contracts each limb against the
+            # kernel-limb columns with weight < 2^32.
+            limbs = split_signed_limbs_i8(d32, nd)              # (nd,2,B,L,N)
+            digits = jnp.moveaxis(limbs, 2, 0).reshape(b, nd, 2 * p.l, p.n)
+            limb_mag = 128
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
-        return acc + extprod_pallas(digits, band_i, half_bg=p.half_bg)
+        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

@@ -66,13 +66,18 @@ def pack_bsk_band(bsk_u32: Array, tn: int = 256) -> Array:
 
 
 def _extprod_kernel(d_ref, band_ref, out_ref, t_scratch, *, n: int, l2: int,
-                    tn: int, tj: int, k_split: int):
+                    nd: int, tn: int, tj: int, k_split: int):
     """One grid cell of the external product.
 
-    d_ref:    (TB, 2L*N) int8 digits (full contraction row).
+    d_ref:    (TB, ND*2L*N) int8 digit limbs (limb-major; full contraction
+              row per limb).
     band_ref: (1, 2L, 2N+TN) int32 — limb-packed D band for this c.
     out_ref:  (1, TB, TN) uint32 output tile (output layout is (2, B, N)).
     t_scratch:(2L*N, NUM_LIMBS*TN) bf16 Toeplitz tile, rebuilt when nt moves.
+
+    Multi-limb digits (ND > 1, profiles with BGBIT > 8): digit limb i only
+    contracts kernel-limb columns j <= NUM_LIMBS-1-i — terms with weight
+    2^(8(i+j)) >= 2^32 vanish mod 2^32.
     """
     nt = pl.program_id(1)
     bt = pl.program_id(2)
@@ -98,46 +103,54 @@ def _extprod_kernel(d_ref, band_ref, out_ref, t_scratch, *, n: int, l2: int,
                     t_scratch[rows, pl.ds(l * tn, tn)] = limb.astype(
                         jnp.bfloat16)
 
-    d_bf = d_ref[:, :].astype(jnp.bfloat16)
-    # Split-K so each f32 partial sum stays integer-exact (< 2^24).
-    acc = None
+    out = None
     kc = k // k_split
-    for s in range(k_split):
-        part = jnp.dot(d_bf[:, s * kc:(s + 1) * kc],
-                       t_scratch[pl.ds(s * kc, kc), :],
-                       preferred_element_type=jnp.float32)
-        part_i = part.astype(jnp.int32)
-        acc = part_i if acc is None else acc + part_i       # wraps mod 2^32
-    out = acc[:, :tn].astype(jnp.uint32)
-    for l in range(1, NUM_LIMBS):
-        out = out + (acc[:, l * tn:(l + 1) * tn].astype(jnp.uint32)
-                     << jnp.uint32(8 * l))
+    for i in range(nd):
+        cols = (NUM_LIMBS - i) * tn
+        d_bf = d_ref[:, pl.ds(i * k, k)].astype(jnp.bfloat16)
+        # Split-K so each f32 partial sum stays integer-exact (< 2^24).
+        acc = None
+        for s in range(k_split):
+            part = jnp.dot(d_bf[:, s * kc:(s + 1) * kc],
+                           t_scratch[pl.ds(s * kc, kc), :cols],
+                           preferred_element_type=jnp.float32)
+            part_i = part.astype(jnp.int32)
+            acc = part_i if acc is None else acc + part_i   # wraps mod 2^32
+        for j in range(NUM_LIMBS - i):
+            term = acc[:, j * tn:(j + 1) * tn].astype(jnp.uint32)
+            if i + j:
+                term = term << jnp.uint32(8 * (i + j))
+            out = term if out is None else out + term
     out_ref[0, :, :] = out
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "tn", "tj", "half_bg"))
-def extprod_pallas(digits_i8: Array, band_i32: Array, half_bg: int = 128,
+@functools.partial(jax.jit, static_argnames=("tb", "tn", "tj", "limb_mag"))
+def extprod_pallas(digits_i8: Array, band_i32: Array, limb_mag: int = 128,
                    tb: int = 128, tn: int = 256, tj: int = 128) -> Array:
-    """digits_i8: (B, 2L, N) int8;  band_i32: (2, 2L, 2N+tn) int32 (packed).
+    """digits_i8: (B, 2L, N) or (B, ND, 2L, N) int8 digit limbs;
+    band_i32: (2, 2L, 2N+tn) int32 (limb-packed).
 
     Returns (2, B, N) uint32 — exact external product mod 2^32, in the
     channel-major accumulator layout used by the Pallas blind rotate.
+    ``limb_mag`` bounds |digit limb| (half_bg when ND == 1, else 128).
     """
-    b, l2, n = digits_i8.shape
+    if digits_i8.ndim == 3:
+        digits_i8 = digits_i8[:, None]
+    b, nd, l2, n = digits_i8.shape
     assert b % tb == 0 and n % tn == 0 and n % tj == 0
     # pick the smallest K split keeping each partial sum < 2^24
     k_split = 1
-    while (l2 * n // k_split) * half_bg * 128 >= _EXACT_BOUND:
+    while (l2 * n // k_split) * limb_mag * 128 >= _EXACT_BOUND:
         k_split *= 2
-    d_flat = digits_i8.reshape(b, l2 * n)
+    d_flat = digits_i8.reshape(b, nd * l2 * n)
 
     grid = (2, n // tn, b // tb)
     out = pl.pallas_call(
-        functools.partial(_extprod_kernel, n=n, l2=l2, tn=tn, tj=tj,
+        functools.partial(_extprod_kernel, n=n, l2=l2, nd=nd, tn=tn, tj=tj,
                           k_split=k_split),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, l2 * n), lambda c, nt, bt: (bt, 0),
+            pl.BlockSpec((tb, nd * l2 * n), lambda c, nt, bt: (bt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l2, band_i32.shape[-1]),
                          lambda c, nt, bt: (c, 0, 0),
@@ -151,8 +164,8 @@ def extprod_pallas(digits_i8: Array, band_i32: Array, half_bg: int = 128,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * l2 * n * 2 * NUM_LIMBS * n,
-            bytes_accessed=b * l2 * n * (2 * n // tn) + b * 2 * n * 4,
+            flops=2 * b * l2 * n * 2 * NUM_LIMBS * n * nd,
+            bytes_accessed=b * nd * l2 * n * (2 * n // tn) + b * 2 * n * 4,
             transcendentals=0,
         ),
     )(d_flat, band_i32)

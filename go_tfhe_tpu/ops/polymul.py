@@ -81,6 +81,27 @@ def extprod_kernel_from_trgsw(trgsw_u32: Array) -> Array:
     return jnp.swapaxes(k, -3, -2)                 # (..., 2, 2L, 2N-1)
 
 
+def split_signed_limbs_i8(x_i32: Array, num_limbs: int) -> Array:
+    """Split SIGNED int32 values into base-256 int8 limbs that reconstruct
+    exactly:  sum_i limb[i] * 2^(8i) == x  (as integers, no wraparound).
+
+    The first num_limbs-1 limbs are balanced in [-128, 127]; the last limb
+    carries the signed remainder and must fit int8 — guaranteed when
+    |x| <= 2^(8*num_limbs - 2) (true for gadget digits: |d| <= half_bg and
+    num_limbs = ceil(bgbit/8)).  Unlike :func:`split_balanced_limbs_i8`,
+    which reconstructs only mod 2^(8*num_limbs), exactness here is required
+    so that digit-limb x kernel-limb products recombine to d*K mod 2^32.
+    """
+    x = x_i32.astype(jnp.int32)
+    limbs = []
+    for _ in range(num_limbs - 1):
+        l = ((x + 128) & 255) - 128                 # balanced, [-128, 127]
+        limbs.append(l.astype(jnp.int8))
+        x = (x - l) >> 8                            # arithmetic shift, exact
+    limbs.append(x.astype(jnp.int8))
+    return jnp.stack(limbs, axis=0)
+
+
 def split_balanced_limbs_i8(x_i32: Array, num_limbs: int = 4) -> Array:
     """Split int32 values into ``num_limbs`` base-256 balanced int8 limbs.
 

@@ -159,6 +159,22 @@ class TFHEParams:
         external-product fast path is exact."""
         return self.half_bg <= 128
 
+    @property
+    def digit_limbs(self) -> int:
+        """Number of base-256 signed limbs needed to represent a gadget
+        digit exactly (see ops.polymul.split_signed_limbs_i8): 1 for
+        BGBIT <= 8, 3 for the Uint profiles (BGBIT 18-23).
+
+        For nd > 1 the final limb is the signed remainder after nd-1
+        balanced extractions; |final| <= half_bg/256^(nd-1) + 129/255, so
+        half_bg <= 64*256^(nd-1) keeps it safely inside int8."""
+        if self.half_bg <= 128:
+            return 1
+        nd = 2
+        while self.half_bg > 64 * (256 ** (nd - 1)):
+            nd += 1
+        return nd
+
     def __post_init__(self):
         assert self.n == 1 << self.nbit, (self.name, self.n, self.nbit)
         assert self.l * self.bgbit <= 32

@@ -80,6 +80,23 @@ def test_extprod_matches_schoolbook():
         np.testing.assert_array_equal(out[c], acc)
 
 
+def test_split_signed_limbs_exact():
+    """split_signed_limbs_i8 reconstructs exactly as INTEGERS (required for
+    the multi-limb MXU external product of the large-BGBIT profiles)."""
+    from go_tfhe_tpu.ops.polymul import split_signed_limbs_i8
+    rng = np.random.default_rng(7)
+    for bgbit, nd in [(9, 2), (14, 2), (16, 3), (18, 3), (22, 3), (23, 3)]:
+        half = 1 << (bgbit - 1)
+        x = np.concatenate([
+            rng.integers(-half, half, size=(500,)),
+            np.array([-half, half - 1, 0, -1, 1])]).astype(np.int32)
+        limbs = np.asarray(split_signed_limbs_i8(jnp.asarray(x), nd))
+        assert limbs.dtype == np.int8
+        recon = sum(limbs[i].astype(np.int64) << (8 * i) for i in range(nd))
+        np.testing.assert_array_equal(recon, x.astype(np.int64),
+                                      err_msg=f"bgbit={bgbit}")
+
+
 def test_split_balanced_limbs_reconstruct():
     rng = np.random.default_rng(4)
     x = rng.integers(-(1 << 31), 1 << 31, size=(100,)).astype(np.int32)
