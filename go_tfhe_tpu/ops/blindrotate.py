@@ -25,7 +25,8 @@ from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
 from .polymul import split_signed_limbs_i8
-from .rotate import monomial_mul, monomial_mul_blocks, monomial_mul_log
+from .rotate import (monomial_mul, monomial_mul_blocks,
+                     monomial_mul_blocks_log, monomial_mul_log)
 
 Array = jax.Array
 
@@ -103,14 +104,18 @@ def blind_rotate_extended(p: TFHEParams, bsk_bands: Array, ct: Array,
     big_mod = 2 * k * p.n
     lead = ct.shape[:-1]
 
+    # Dynamic per-row gathers are slow on TPU; the log form composes static
+    # slice/concat rotations selected by the bits of t (bit-exact, rotate.py).
+    rot = (monomial_mul_blocks_log if jax.default_backend() == "tpu"
+           else monomial_mul_blocks)
+
     b_tilda = big_mod - mod_switch_general(ct[..., n_lwe], big_mod)
-    acc = monomial_mul_blocks(
-        jnp.broadcast_to(lut_blocks, lead + (k, 2, p.n)), b_tilda, k)
+    acc = rot(jnp.broadcast_to(lut_blocks, lead + (k, 2, p.n)), b_tilda, k)
 
     a_tilda = mod_switch_general(ct[..., :n_lwe], big_mod)   # (..., n_lwe)
 
     def body(i, acc):
-        rotated = monomial_mul_blocks(acc, a_tilda[..., i], k)
+        rotated = rot(acc, a_tilda[..., i], k)
         band = lax.dynamic_index_in_dim(bsk_bands, i, axis=0, keepdims=False)
         # Block-wise CMUX: k is just another batch axis for the contraction.
         return acc + external_product(p, band, rotated - acc)

@@ -38,9 +38,9 @@ def monomial_mul(poly: Array, k: Array) -> Array:
     flip = (k2 >= n)[..., None]                         # (..., 1)
     i = jnp.arange(n, dtype=jnp.int32)
     src = jnp.mod(i - r, n)                             # (..., N)
+    shape = jnp.broadcast_shapes(poly.shape, src.shape)
     gathered = jnp.take_along_axis(
-        jnp.broadcast_to(poly, jnp.broadcast_shapes(poly.shape, src.shape)),
-        src, axis=-1)
+        jnp.broadcast_to(poly, shape), jnp.broadcast_to(src, shape), axis=-1)
     neg = (i < r) ^ flip
     return jnp.where(neg, torus_not(gathered), gathered)
 
@@ -72,6 +72,56 @@ def monomial_mul_blocks(acc: Array, t: Array, k: int) -> Array:
                            acc.shape[:-3] + (k,) + acc.shape[-2:])
     gathered = jnp.take_along_axis(acc, idx, axis=-3)
     return monomial_mul(gathered, q[..., None])                 # over (C, N)
+
+
+def _block_rotate_static(acc: Array, shift: int, k: int) -> Array:
+    """Rotate the interleaved big polynomial by X^shift with STATIC shift.
+
+    acc: (..., k, C, N).  shift in [0, 2kN).  With s = shift % k and
+    q = shift // k:  out_block[r'] = Y^(q+1) block[r'-s+k] for r' < s,
+    Y^q block[r'-s] otherwise — all static slices/concats (TPU friendly).
+    """
+    n = acc.shape[-1]
+    s, q = shift % k, shift // k
+
+    def rot_y(x: Array, amount: int) -> Array:
+        amount = amount % (2 * n)
+        flip = amount >= n
+        a = amount % n
+        if a:
+            x = jnp.concatenate(
+                [torus_not(x[..., n - a:]), x[..., :n - a]], axis=-1)
+        return torus_not(x) if flip else x
+
+    lo = acc[..., k - s:, :, :] if s else None    # wraps: Y^(q+1)
+    hi = acc[..., :k - s, :, :]                   # plain:  Y^q
+    parts = []
+    if s:
+        parts.append(rot_y(lo, q + 1))
+    parts.append(rot_y(hi, q))
+    return jnp.concatenate(parts, axis=-3) if s else rot_y(hi, q)
+
+
+def monomial_mul_blocks_log(acc: Array, t: Array, k: int) -> Array:
+    """TPU fast path of :func:`monomial_mul_blocks`: compose static
+    X^(2^j) rotations selected by the bits of t (no dynamic gathers).
+
+    Bit-exact with monomial_mul_blocks for every t — each wraparound applies
+    x -> ~x, and wrap parity composes identically (see monomial_mul_log).
+
+    acc: (..., k, C, N) uint32;  t: int32 broadcastable to acc.shape[:-3].
+    """
+    n = acc.shape[-1]
+    big = 2 * k * n
+    nbits = (big - 1).bit_length()
+    t = jnp.mod(jnp.asarray(t, jnp.int32), big)
+    out = acc
+    for j in range(nbits):
+        shift = (1 << j) % big
+        rolled = _block_rotate_static(out, shift, k)
+        bit = (((t >> j) & 1) > 0)[..., None, None, None]
+        out = jnp.where(bit, rolled, out)
+    return out
 
 
 def monomial_mul_log(poly: Array, k: Array) -> Array:

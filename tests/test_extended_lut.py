@@ -15,7 +15,8 @@ import go_tfhe_tpu as tfhe
 from conftest import monomial_mul_oracle
 from go_tfhe_tpu import cipher, lut
 from go_tfhe_tpu.ops.blindrotate import mod_switch_general
-from go_tfhe_tpu.ops.rotate import monomial_mul_blocks
+from go_tfhe_tpu.ops.rotate import (monomial_mul_blocks,
+                                    monomial_mul_blocks_log)
 
 
 def _interleave(big, k):
@@ -53,6 +54,23 @@ def test_block_rotation_batched():
     for b in range(2):
         want = _interleave(monomial_mul_oracle(big[b], int(ts[b])), k)
         np.testing.assert_array_equal(out[b, :, 0], want)
+
+
+@pytest.mark.parametrize("k", [2, 3, 9])
+def test_block_rotation_log_matches_gather_form(k):
+    """The TPU fast path (static-shift bit composition) must be bit-exact
+    with the gather form for every t in [0, 2kN) — including non-power-of-
+    two k where 2^j shifts exceed the modulus."""
+    n = 16
+    rng = np.random.default_rng(100 + k)
+    acc = jnp.asarray(rng.integers(
+        0, 1 << 32, size=(2, k, 2, n), dtype=np.uint64).astype(np.uint32))
+    ts = np.arange(2 * k * n, dtype=np.int32)
+    got = np.asarray(jax.vmap(
+        lambda t: monomial_mul_blocks_log(acc, t, k))(jnp.asarray(ts)))
+    want = np.asarray(jax.vmap(
+        lambda t: monomial_mul_blocks(acc, t, k))(jnp.asarray(ts)))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_mod_switch_general_exact():
