@@ -15,9 +15,9 @@ from .engine import bootstrap, bootstrap_without_key_switch
 from .keys import (CloudKey, SecretKey, gen_cloud_key, gen_cloud_key_no_ksk,
                    gen_secret_key, load_cloud_key, load_secret_key,
                    save_cloud_key, save_secret_key)
-from .params import (DEFAULT, P80, P110, P128, PROFILES, TEST_EXT2,
-                     TEST_EXT3, TEST_FAST, TEST_NIBBLE, TEST_PBS, UINT1,
-                     UINT2, UINT3, UINT4, UINT5, UINT6, UINT7, UINT8,
+from .params import (DEFAULT, P80, P110, P128, PROFILES, TEST_BLOCK,
+                     TEST_EXT2, TEST_EXT3, TEST_FAST, TEST_NIBBLE, TEST_PBS,
+                     UINT1, UINT2, UINT3, UINT4, UINT5, UINT6, UINT7, UINT8,
                      TFHEParams, get_params, security_info)
 
 __version__ = "0.1.0"

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from .keys import CloudKey
-from .ops.blindrotate import (blind_rotate, blind_rotate_extended,
+from .ops.blindrotate import (blind_rotate, blind_rotate_block,
+                              blind_rotate_block_tpu, blind_rotate_extended,
                               blind_rotate_tpu)
 from .ops.keyswitch import identity_key_switch
 from .ops.sample_extract import sample_extract
@@ -69,6 +70,25 @@ def _bootstrap_core_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
     return identity_key_switch(p, ksk, lv1) if key_switch else lv1
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_block(p: TFHEParams, key_switch: bool, bsk_kernel: Array,
+                          ksk: Array, ct: Array, testvec: Array) -> Array:
+    """Block blind rotation (portable) — block-binary lv0 keys only."""
+    rotated = blind_rotate_block(p, bsk_kernel, ct, testvec)
+    lv1 = sample_extract(rotated, 0)
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_block_tpu(p: TFHEParams, key_switch: bool,
+                              bsk_band: Array, ksk: Array, ct: Array,
+                              testvec: Array) -> Array:
+    """Block blind rotation, Pallas fast path — block-binary lv0 keys only."""
+    rotated = blind_rotate_block_tpu(p, bsk_band, ct, testvec)
+    lv1 = sample_extract(rotated, 0)
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
 def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
                key_switch: bool) -> Array:
     p = ck.params
@@ -76,8 +96,13 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
     if p.poly_extend_factor > 1:
         return _bootstrap_core_ext(p, key_switch, ck.bsk_kernel, ck.ksk, ct,
                                    tv)
+    # Block blind rotation needs a block-binary lv0 key (keys.py); the
+    # Pallas block kernel additionally needs int8 digits to fit its
+    # scratch within VMEM — other profiles use the per-bit paths.
+    block = ck.block_binary and p.block_size > 1
     if not (_use_tpu_path(p) and ck.bsk_band is not None):
-        return _bootstrap_core(p, key_switch, ck.bsk_kernel, ck.ksk, ct, tv)
+        core = _bootstrap_core_block if block else _bootstrap_core
+        return core(p, key_switch, ck.bsk_kernel, ck.ksk, ct, tv)
 
     # Pallas path: flatten leading batch dims and pad to the batch tile.
     lead = ct.shape[:-1]
@@ -94,7 +119,9 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
         if tv.ndim > 2:
             tv = jnp.concatenate(
                 [tv, jnp.zeros((pad, 2, p.n), tv.dtype)], axis=0)
-    out = _bootstrap_core_tpu(p, key_switch, ck.bsk_band, ck.ksk, ct2, tv)
+    tpu_core = (_bootstrap_core_block_tpu if block and p.digit_limbs == 1
+                else _bootstrap_core_tpu)
+    out = tpu_core(p, key_switch, ck.bsk_band, ck.ksk, ct2, tv)
     if pad:
         out = out[:b]
     return out.reshape(lead + out.shape[1:])

@@ -27,7 +27,7 @@ from . import cipher
 from .params import TFHEParams, get_params
 from .ops.pallas_extprod import pack_bsk_band
 from .ops.polymul import ext_band_from_trgsw
-from .utils.rng import binary_key
+from .utils.rng import binary_key, block_binary_key
 from .utils.torus import TORUS, f64_to_torus
 
 Array = jax.Array
@@ -36,9 +36,16 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SecretKey:
-    """Binary secret keys for both levels (key/key.go:10-13)."""
+    """Binary secret keys for both levels (key/key.go:10-13).
+
+    ``block_binary``: the lv0 key was sampled block-binary (Hamming weight
+    <= 1 per block of ``params.block_size`` bits), enabling block blind
+    rotation.  The lv1 ring key is always uniform binary.
+    """
     lv0: Array  # (lwe_n,) uint32 in {0,1}
     lv1: Array  # (n,)     uint32 in {0,1}
+    block_binary: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -58,16 +65,33 @@ class CloudKey:
     #                            for the Pallas TPU path; None when digits
     #                            don't fit int8
     params: TFHEParams = dataclasses.field(metadata=dict(static=True))
+    # The underlying lv0 key is block-binary, so the engine may use block
+    # blind rotation (params.block_size bits per sequential step).
+    block_binary: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def decomposition_offset(self) -> int:
         return self.params.decomposition_offset
 
 
-def gen_secret_key(rng: Array, p: TFHEParams) -> SecretKey:
-    """key/key.go:16-45."""
+def gen_secret_key(rng: Array, p: TFHEParams,
+                   block_binary: Optional[bool] = None) -> SecretKey:
+    """key/key.go:16-45.
+
+    ``block_binary=None`` follows the profile: profiles that advertise block
+    blind rotation (params/params.go:110 — every production profile, with
+    block_size 3-8) get a block-binary lv0 key so the engine can actually
+    run it; pass ``False`` to force a uniform binary lv0 key (the
+    distribution the reference actually samples, key/key.go:25-39).
+    """
     k0, k1 = jax.random.split(rng)
-    return SecretKey(lv0=binary_key(k0, p.lwe_n), lv1=binary_key(k1, p.n))
+    if block_binary is None:
+        block_binary = p.use_block_blind_rotation
+    lv0 = (block_binary_key(k0, p.lwe_n, p.block_size) if block_binary
+           else binary_key(k0, p.lwe_n))
+    return SecretKey(lv0=lv0, lv1=binary_key(k1, p.n),
+                     block_binary=block_binary)
 
 
 def gen_testvec(p: TFHEParams) -> Array:
@@ -128,6 +152,7 @@ def gen_cloud_key(rng: Array, sk: SecretKey, p: TFHEParams) -> CloudKey:
         bsk_kernel=prepare_bootstrap_kernels(bsk, p),
         bsk_band=_maybe_band(bsk, p),
         params=p,
+        block_binary=sk.block_binary,
     )
 
 
@@ -149,12 +174,14 @@ def gen_cloud_key_no_ksk(p: TFHEParams) -> CloudKey:
 # ---------------------------------------------------------------------------
 
 def save_secret_key(path: str, sk: SecretKey) -> None:
-    np.savez_compressed(path, lv0=np.asarray(sk.lv0), lv1=np.asarray(sk.lv1))
+    np.savez_compressed(path, lv0=np.asarray(sk.lv0), lv1=np.asarray(sk.lv1),
+                        block_binary=np.asarray(sk.block_binary))
 
 
 def load_secret_key(path: str) -> SecretKey:
     z = np.load(path)
-    return SecretKey(lv0=jnp.asarray(z["lv0"]), lv1=jnp.asarray(z["lv1"]))
+    return SecretKey(lv0=jnp.asarray(z["lv0"]), lv1=jnp.asarray(z["lv1"]),
+                     block_binary=bool(z.get("block_binary", False)))
 
 
 def save_cloud_key(path: str, ck: CloudKey) -> None:
@@ -164,6 +191,7 @@ def save_cloud_key(path: str, ck: CloudKey) -> None:
         testvec=np.asarray(ck.testvec),
         ksk=np.asarray(ck.ksk),
         bsk=np.asarray(ck.bsk),
+        block_binary=np.asarray(ck.block_binary),
     )
 
 
@@ -178,4 +206,5 @@ def load_cloud_key(path: str) -> CloudKey:
         bsk_kernel=prepare_bootstrap_kernels(bsk, p),
         bsk_band=_maybe_band(bsk, p),
         params=p,
+        block_binary=bool(z.get("block_binary", False)),
     )

@@ -24,7 +24,7 @@ from ..params import TFHEParams
 from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
-from .polymul import split_signed_limbs_i8
+from .polymul import negacyclic_extprod_toeplitz, split_signed_limbs_i8
 from .rotate import (monomial_mul, monomial_mul_blocks,
                      monomial_mul_blocks_log, monomial_mul_log)
 
@@ -123,6 +123,83 @@ def blind_rotate_extended(p: TFHEParams, bsk_bands: Array, ct: Array,
     return lax.fori_loop(0, n_lwe, body, acc)
 
 
+def blind_rotate_block(p: TFHEParams, bsk_bands: Array, ct: Array,
+                       testvec: Array) -> Array:
+    """Block blind rotation (portable path) — requires a block-binary lv0 key.
+
+    The mechanism the reference's parameters advertise but never implement
+    (TRGSWLv1Params.BlockSize, params/params.go:77,110; SURVEY.md #13).  With
+    at most one key bit set per block, X^(sum_j s_j a_j) = 1 + sum_j
+    s_j (X^(a_j) - 1), so one block step is
+
+        acc' = acc + sum_j BSK[j] (x) (X^(a_j) acc - acc)
+
+    — ``block_size`` *independent* external products of rotations of the
+    same accumulator, folded into ONE contraction with block_size*2L rows.
+    The sequential chain shrinks from n_lwe to ceil(n_lwe/block_size) steps
+    of proportionally bigger MXU matmuls (total FLOPs unchanged, latency /
+    launch overhead divided by block_size).  A ragged tail of
+    n_lwe mod block_size bits falls back to per-bit CMUX steps.
+
+    bsk_bands: (n_lwe, 2L, 2, 2N) int32 signed D bands from keygen.
+    ct:        (..., n_lwe+1) uint32;  testvec: (2, N) or (..., 2, N).
+    Returns (..., 2, N) uint32.
+    """
+    bs = p.block_size
+    full, rem = divmod(p.lwe_n, bs)
+    l2 = 2 * p.l
+    lead = ct.shape[:-1]
+
+    b_tilda = 2 * p.n - mod_switch_2n(ct[..., p.lwe_n], p)
+    acc = monomial_mul(
+        jnp.broadcast_to(testvec, lead + (2, p.n)), b_tilda[..., None])
+
+    a_tilda = mod_switch_2n(ct[..., :p.lwe_n], p)              # (..., n_lwe)
+    a_blk = a_tilda[..., :full * bs].reshape(lead + (full, bs))
+    band_blk = bsk_bands[:full * bs].reshape(full, bs * l2, 2, 2 * p.n)
+
+    def body(i, acc):
+        a_i = lax.dynamic_index_in_dim(a_blk, i, axis=-2, keepdims=False)
+        rotated = monomial_mul(acc[..., None, :, :], a_i[..., :, None])
+        diff = rotated - acc[..., None, :, :]                  # (...,bs,2,N)
+        digits = gadget_decompose(diff, p)                     # (...,bs,2L,N)
+        digits = digits.reshape(lead + (bs * l2, p.n))
+        band = lax.dynamic_index_in_dim(band_blk, i, axis=0, keepdims=False)
+        return acc + negacyclic_extprod_toeplitz(digits, band)
+
+    acc = lax.fori_loop(0, full, body, acc)
+    for j in range(rem):                      # ragged tail, static indices
+        idx = full * bs + j
+        rotated = monomial_mul(acc, a_tilda[..., idx][..., None])
+        acc = cmux(p, bsk_bands[idx], acc, rotated)
+    return acc
+
+
+def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
+    """Gadget-decompose a channel-major difference for the Pallas kernel.
+
+    diff: (*g, 2, B, N) uint32 (g = () for per-bit steps, (block_size,) for
+    block steps).  Returns ((B, [nd,] R, N) int8 digit limbs, limb_mag) with
+    R = prod(g)*2L, rows g-major then [A levels, B levels] — matching the
+    row order of the packed BSK bands.
+    """
+    b, n = diff.shape[-2], diff.shape[-1]
+    nd = p.digit_limbs
+    tmp = diff + jnp.uint32(p.decomposition_offset)
+    d = (tmp[..., None, :] >> shifts[:, None]) & jnp.uint32(p.bg - 1)
+    d32 = d.astype(jnp.int32) - p.half_bg              # (*g, 2, B, L, N)
+    rows = d32.size // (b * n)                         # prod(g) * 2L
+    if nd == 1:
+        digits = jnp.moveaxis(d32.astype(jnp.int8), -3, 0)   # (B,*g,2,L,N)
+        return digits.reshape(b, rows, n), p.half_bg
+    # Large digits (BGBIT > 8, the Uint profiles): exact signed base-256
+    # limbs; the kernel contracts each limb against the kernel-limb columns
+    # with weight < 2^32.
+    limbs = split_signed_limbs_i8(d32, nd)             # (nd, *g, 2, B, L, N)
+    digits = jnp.moveaxis(limbs, -3, 0)                # (B, nd, *g, 2, L, N)
+    return digits.reshape(b, nd, rows, n), 128
+
+
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
                      testvec: Array) -> Array:
     """TPU fast path: log-rotation + Pallas bf16 MXU external product.
@@ -151,28 +228,69 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
 
     a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
 
-    nd = p.digit_limbs
-
     def body(i, acc):
         rotated = monomial_mul_log(acc, a_tilda[:, i][None, :])
-        diff = rotated - acc                                    # (2, B, N)
-        # gadget decomposition, rows [A-levels, B-levels] (c-major):
-        tmp = diff + jnp.uint32(p.decomposition_offset)
-        d = (tmp[:, :, None, :] >> shifts[:, None]) & jnp.uint32(p.bg - 1)
-        d32 = d.astype(jnp.int32) - p.half_bg                   # (2,B,L,N)
-        if nd == 1:
-            digits = jnp.moveaxis(d32.astype(jnp.int8), 1, 0).reshape(
-                b, 2 * p.l, p.n)
-            limb_mag = p.half_bg
-        else:
-            # Large digits (BGBIT > 8, the Uint profiles): exact signed
-            # base-256 limbs; the kernel contracts each limb against the
-            # kernel-limb columns with weight < 2^32.
-            limbs = split_signed_limbs_i8(d32, nd)              # (nd,2,B,L,N)
-            digits = jnp.moveaxis(limbs, 2, 0).reshape(b, nd, 2 * p.l, p.n)
-            limb_mag = 128
+        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
         return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
+    return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)
+
+
+def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
+                           testvec: Array) -> Array:
+    """TPU fast path of :func:`blind_rotate_block`: per sequential step, the
+    block's ``block_size`` independent external products fold into ONE Pallas
+    contraction with block_size*2L rows — ~block_size x fewer kernel
+    launches / sequential dependencies than :func:`blind_rotate_tpu`.
+
+    bsk_band: (n_lwe, 2, 2L, 2N+tn) int32 limb-packed bands (keys.py).
+    ct:       (B, n_lwe+1) uint32;  testvec: (2, N) or (B, 2, N).
+    Returns (B, 2, N) uint32.  Requires a block-binary lv0 key.
+    """
+    n_lwe, bs = p.lwe_n, p.block_size
+    full, rem = divmod(n_lwe, bs)
+    l2 = 2 * p.l
+    b = ct.shape[0]
+    shifts = jnp.asarray(
+        [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
+
+    # The Toeplitz scratch holds (bs*2L*N, 4*tn) bf16; shrink the column
+    # tile so it stays within VMEM (~16 MB/core) next to the double-buffered
+    # digit blocks.
+    tn = 256
+    while bs * l2 * p.n * 4 * tn * 2 > 10 << 20:
+        tn //= 2
+
+    b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p)          # (B,)
+    if testvec.ndim == 2:
+        tv = jnp.broadcast_to(testvec[:, None, :], (2, b, p.n))
+    else:
+        tv = jnp.moveaxis(testvec, 0, 1)
+    acc = monomial_mul_log(tv, b_tilda[None, :])                # (2, B, N)
+
+    a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
+    # (full, bs, B): block-major rotation amounts for the loop body.
+    a_blk = jnp.moveaxis(
+        a_tilda[:, :full * bs].reshape(b, full, bs), 0, -1)
+    # (full, 2, bs*2L, W): per-block packed bands, rows block-major.
+    w = bsk_band.shape[-1]
+    band_blk = jnp.moveaxis(
+        bsk_band[:full * bs].reshape(full, bs, 2, l2, w), 2, 1
+    ).reshape(full, 2, bs * l2, w)
+
+    def body(i, acc):
+        a_i = lax.dynamic_index_in_dim(a_blk, i, 0, False)      # (bs, B)
+        rotated = monomial_mul_log(acc[None], a_i[:, None, :])  # (bs,2,B,N)
+        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc[None])
+        band = lax.dynamic_index_in_dim(band_blk, i, 0, False)
+        return acc + extprod_pallas(digits, band, limb_mag=limb_mag, tn=tn)
+
+    acc = lax.fori_loop(0, full, body, acc)
+    for j in range(rem):                      # ragged tail, static indices
+        idx = full * bs + j
+        rotated = monomial_mul_log(acc, a_tilda[:, idx][None, :])
+        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
+        acc = acc + extprod_pallas(digits, bsk_band[idx], limb_mag=limb_mag)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

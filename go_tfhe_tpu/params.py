@@ -281,6 +281,17 @@ TEST_FAST = TFHEParams(
     message_modulus=2,
 )
 
+# Block-blind-rotation test profile: block_size=2 with a ragged tail
+# (lwe_n=17 = 8 blocks + 1), exercising both the fused block step and the
+# per-bit tail in blind_rotate_block(+_tpu).  Margins as TEST_FAST.
+TEST_BLOCK = TFHEParams(
+    name="test_block",
+    lwe_n=17, lwe_alpha=1.0 / (1 << 20),
+    n=128, lv1_alpha=1.0 / (1 << 28), nbit=7,
+    bgbit=8, l=2, basebit=4, iks_t=6, block_size=2,
+    message_modulus=2,
+)
+
 # Slightly larger test profile with a multi-bit message space for PBS tests.
 TEST_PBS = TFHEParams(
     name="test_pbs",
@@ -324,8 +335,8 @@ TEST_EXT3 = TFHEParams(
 PROFILES: Dict[str, TFHEParams] = {
     p.name: p
     for p in (P80, P110, P128, UINT1, UINT2, UINT3, UINT4, UINT5, UINT6,
-              UINT7, UINT8, TEST_FAST, TEST_PBS, TEST_NIBBLE, TEST_EXT2,
-              TEST_EXT3)
+              UINT7, UINT8, TEST_FAST, TEST_BLOCK, TEST_PBS, TEST_NIBBLE,
+              TEST_EXT2, TEST_EXT3)
 }
 
 # Aliases mirroring the reference enum names (params/params.go:32-44).

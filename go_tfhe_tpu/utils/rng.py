@@ -29,3 +29,25 @@ def gaussian_torus(key: jax.Array, mu_torus, stddev: float, shape) -> jax.Array:
 def binary_key(key: jax.Array, n: int) -> jax.Array:
     """Uniform binary secret key bits in {0,1} as uint32 (key/key.go:25-39)."""
     return jax.random.bernoulli(key, 0.5, (n,)).astype(TORUS)
+
+
+def block_binary_key(key: jax.Array, n: int, block_size: int) -> jax.Array:
+    """Block-binary secret key: Hamming weight <= 1 per length-``block_size``
+    block, each block uniform over its block_size+1 weight-<=1 patterns.
+
+    This is the key distribution required by block blind rotation — the
+    algorithm the reference's parameters advertise (TRGSWLv1Params.BlockSize,
+    params/params.go:77,110 "3-4x faster") but never implement (SURVEY.md
+    #13).  A ragged final block of r = n mod block_size bits is sampled the
+    same way over its r+1 patterns.
+    """
+    bs = block_size
+    full, rem = divmod(n, bs)
+    k1, k2 = jax.random.split(key)
+    u = jax.random.randint(k1, (full,), 0, bs + 1)      # bs == "empty block"
+    bits = (u[:, None] == jnp.arange(bs)).astype(TORUS).reshape(full * bs)
+    if rem:
+        v = jax.random.randint(k2, (), 0, rem + 1)
+        bits = jnp.concatenate(
+            [bits, (v == jnp.arange(rem)).astype(TORUS)])
+    return bits
