@@ -76,18 +76,27 @@ class CloudKey:
 
 
 def gen_secret_key(rng: Array, p: TFHEParams,
-                   block_binary: Optional[bool] = None) -> SecretKey:
+                   block_binary: bool = False) -> SecretKey:
     """key/key.go:16-45.
 
-    ``block_binary=None`` follows the profile: profiles that advertise block
-    blind rotation (params/params.go:110 — every production profile, with
-    block_size 3-8) get a block-binary lv0 key so the engine can actually
-    run it; pass ``False`` to force a uniform binary lv0 key (the
-    distribution the reference actually samples, key/key.go:25-39).
+    The default samples both levels **uniform binary** — the distribution
+    the reference actually uses (key/key.go:25-39); its BlockSize fields are
+    dead config.  Pass ``block_binary=True`` to opt into a block-binary lv0
+    key (Hamming weight <= 1 per block of ``p.block_size`` bits), which
+    enables the ~block_size x faster block blind rotation.
+
+    SECURITY CAVEAT for ``block_binary=True``: a block-binary key has
+    log2(block_size+1)/block_size entropy bits per key bit (< 1), so a
+    profile's nominal security level does NOT automatically carry over;
+    block-binary distributions require their own LWE hardness estimate
+    (cf. the sparse/fixed-weight LWE literature).  The reference never
+    samples such keys — this is an explicit, documented deviation.
     """
     k0, k1 = jax.random.split(rng)
-    if block_binary is None:
-        block_binary = p.use_block_blind_rotation
+    if block_binary and p.block_size <= 1:
+        raise ValueError(
+            f"profile {p.name!r} has block_size {p.block_size}; "
+            "block-binary keys need block_size > 1")
     lv0 = (block_binary_key(k0, p.lwe_n, p.block_size) if block_binary
            else binary_key(k0, p.lwe_n))
     return SecretKey(lv0=lv0, lv1=binary_key(k1, p.n),

@@ -131,9 +131,15 @@ class Generator:
             self.encoder = saved
 
     def mod_switch(self, x) -> int:
-        """Torus -> [0, lut_size) with rounding (lut/generator.go:157-168)."""
+        """Torus -> [0, lut_size) with rounding (lut/generator.go:157-168).
+
+        Go's math.Round rounds half AWAY from zero (x >= 0 here, so
+        floor(x+0.5)) — Python's round() would banker's-round exact halves
+        the other way and break bit parity.
+        """
+        import math
         scaled = float(np.uint32(x)) / float(1 << 32) * self.lut_size
-        return int(round(scaled)) % self.lut_size
+        return int(math.floor(scaled + 0.5)) % self.lut_size
 
 
 # ---------------------------------------------------------------------------

@@ -201,7 +201,7 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
 
 
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
-                     testvec: Array) -> Array:
+                     testvec: Array, tb: int = 128) -> Array:
     """TPU fast path: log-rotation + Pallas bf16 MXU external product.
 
     Same math as :func:`blind_rotate` (bit-exact), but the accumulator lives
@@ -232,14 +232,14 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         rotated = monomial_mul_log(acc, a_tilda[:, i][None, :])
         digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
-        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag)
+        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag, tb=tb)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)
 
 
 def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
-                           testvec: Array) -> Array:
+                           testvec: Array, tb: int = 128) -> Array:
     """TPU fast path of :func:`blind_rotate_block`: per sequential step, the
     block's ``block_size`` independent external products fold into ONE Pallas
     contraction with block_size*2L rows — ~block_size x fewer kernel
@@ -285,12 +285,14 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         rotated = monomial_mul_log(acc[None], a_i[:, None, :])  # (bs,2,B,N)
         digits, limb_mag = _pallas_digits(p, shifts, rotated - acc[None])
         band = lax.dynamic_index_in_dim(band_blk, i, 0, False)
-        return acc + extprod_pallas(digits, band, limb_mag=limb_mag, tn=tn)
+        return acc + extprod_pallas(digits, band, limb_mag=limb_mag, tn=tn,
+                                    tb=tb)
 
     acc = lax.fori_loop(0, full, body, acc)
     for j in range(rem):                      # ragged tail, static indices
         idx = full * bs + j
         rotated = monomial_mul_log(acc, a_tilda[:, idx][None, :])
         digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
-        acc = acc + extprod_pallas(digits, bsk_band[idx], limb_mag=limb_mag)
+        acc = acc + extprod_pallas(digits, bsk_band[idx], limb_mag=limb_mag,
+                                   tb=tb)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

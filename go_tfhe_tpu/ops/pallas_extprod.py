@@ -23,9 +23,9 @@ materialization), so this kernel:
   innermost; the tile is rebuilt only when (c, nt) changes).
 
 Digits must satisfy half_bg <= 128 (BGBIT <= 8: the 80/110/128-bit and uint1
-profiles).  The band is padded to 2N+TN columns so every 2*TN-wide window
-slice is in bounds (positions >= 2N are never referenced by a valid (j, n)
-pair).
+profiles).  The band is padded to TN+2N columns — TN zeros PREPENDED — so
+every 2*TN-wide window slice is in bounds (the pad positions are never
+referenced by a valid (j, n) pair).
 """
 
 from __future__ import annotations
@@ -45,14 +45,28 @@ Array = jax.Array
 NUM_LIMBS = 4
 _EXACT_BOUND = 1 << 24  # f32 integer-exact range
 
+# When True, pallas_call runs in the (CPU) interpreter — lets CI execute the
+# kernel off-TPU bit-exactly.  Read at TRACE time: tests set it before the
+# first call of a given shape (jit caches per shape, so flipping it later
+# does not retrace already-compiled shapes).
+INTERPRET = False
+
 
 def pack_bsk_band(bsk_u32: Array, tn: int = 256) -> Array:
     """Raw BSK (n0, 2L, 2, N) uint32 -> limb-packed int32 bands
-    (n0, 2, 2L, 2N + tn) for the Pallas kernel.
+    (n0, 2, 2L, tn + 2N) for the Pallas kernel.
 
     Each int32 packs the 4 balanced int8 limbs of one D coefficient as biased
     bytes (limb + 128): Mosaic's strided roll handles 32-bit lanes only, so
     the kernel rolls once per tile and unpacks all 4 limbs afterwards.
+
+    The tn zeros are PREPENDED so that every 2*tn window the kernel slices
+    (start ``n + nt*tn - jt*tj``, see _extprod_kernel) is in bounds: starts
+    range over [tj, n + (n/tn-1)*tn], ends at most tn + 2N.  (Appending
+    instead would make low-(nt) / high-(jt) window starts negative — reading
+    out of bounds, which real Mosaic tolerates because the out-of-window
+    lanes are never referenced, but which is undefined behavior and breaks
+    interpret mode.)
     """
     d = jnp.concatenate([jnp.zeros_like(bsk_u32) - bsk_u32, bsk_u32], axis=-1)
     limbs = split_balanced_limbs_i8(to_signed(d), NUM_LIMBS)  # (4,n0,2L,2,2N)
@@ -62,11 +76,11 @@ def pack_bsk_band(bsk_u32: Array, tn: int = 256) -> Array:
         packed = packed | (byte << jnp.uint32(8 * l))
     packed = jnp.swapaxes(packed, 1, 2)                       # (n0,2,2L,2N)
     pad = jnp.zeros(packed.shape[:-1] + (tn,), jnp.uint32)
-    return to_signed(jnp.concatenate([packed, pad], axis=-1))
+    return to_signed(jnp.concatenate([pad, packed], axis=-1))
 
 
 def _extprod_kernel(d_ref, band_ref, out_ref, t_scratch, *, n: int, l2: int,
-                    nd: int, tn: int, tj: int, k_split: int):
+                    nd: int, tn: int, tj: int, k_split: int, base0: int):
     """One grid cell of the external product.
 
     d_ref:    (TB, ND*2L*N) int8 digit limbs (limb-major; full contraction
@@ -87,10 +101,13 @@ def _extprod_kernel(d_ref, band_ref, out_ref, t_scratch, *, n: int, l2: int,
     def _build_toeplitz():
         # T[(r, jt*tj + j'), l*tn + n'] = limb_l(D[c, r, n + nt*tn + n'
         #   - jt*tj - j']) = limb_l(w[tn + n' - j']),
-        # w = band[c, r, base : base + 2*tn],  base = n + nt*tn - jt*tj - tn.
+        # w = band[c, r, base : base + 2*tn].  The band stores D[m] at
+        # column pad + m (pack_bsk_band PREPENDS pad zeros), so
+        # base = base0 + n + nt*tn - jt*tj with base0 = pad - tn >= 0;
+        # every window is in bounds: base >= base0 + tj, end <= pad + 2n.
         for r in range(l2):
             for jt in range(n // tj):
-                base = n + nt * tn - jt * tj - tn
+                base = base0 + n + nt * tn - jt * tj
                 w = band_ref[0, r, pl.ds(base, 2 * tn)]
                 wmat = jnp.broadcast_to(w, (tj, 2 * tn))
                 # roll: out[j, m] = w[(m - shift - j) mod 2tn]; want
@@ -138,6 +155,8 @@ def extprod_pallas(digits_i8: Array, band_i32: Array, limb_mag: int = 128,
         digits_i8 = digits_i8[:, None]
     b, nd, l2, n = digits_i8.shape
     assert b % tb == 0 and n % tn == 0 and n % tj == 0
+    pad = band_i32.shape[-1] - 2 * n     # prepended zeros (pack_bsk_band)
+    assert pad >= tn, (pad, tn)
     # pick the smallest K split keeping each partial sum < 2^24
     k_split = 1
     while (l2 * n // k_split) * limb_mag * 128 >= _EXACT_BOUND:
@@ -147,7 +166,7 @@ def extprod_pallas(digits_i8: Array, band_i32: Array, limb_mag: int = 128,
     grid = (2, n // tn, b // tb)
     out = pl.pallas_call(
         functools.partial(_extprod_kernel, n=n, l2=l2, nd=nd, tn=tn, tj=tj,
-                          k_split=k_split),
+                          k_split=k_split, base0=pad - tn),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, nd * l2 * n), lambda c, nt, bt: (bt, 0),
@@ -168,5 +187,6 @@ def extprod_pallas(digits_i8: Array, band_i32: Array, limb_mag: int = 128,
             bytes_accessed=b * nd * l2 * n * (2 * n // tn) + b * 2 * n * 4,
             transcendentals=0,
         ),
+        interpret=INTERPRET,
     )(d_flat, band_i32)
     return out

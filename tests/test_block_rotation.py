@@ -33,21 +33,26 @@ def test_block_binary_key_weight():
         assert bits.sum() > 0
 
 
-def test_gen_secret_key_follows_profile():
-    sk_blk = tfhe.gen_secret_key(jax.random.PRNGKey(0), tfhe.TEST_BLOCK)
+def test_gen_secret_key_defaults_uniform():
+    """Default key distribution is uniform binary — matching the reference
+    (key/key.go:25-39); block-binary is an explicit opt-in."""
+    sk_def = tfhe.gen_secret_key(jax.random.PRNGKey(0), tfhe.TEST_BLOCK)
+    assert not sk_def.block_binary
+    sk_128 = tfhe.gen_secret_key(jax.random.PRNGKey(0), tfhe.P128)
+    assert not sk_128.block_binary
+    sk_blk = tfhe.gen_secret_key(jax.random.PRNGKey(0), tfhe.TEST_BLOCK,
+                                 block_binary=True)
     assert sk_blk.block_binary
-    sk_fast = tfhe.gen_secret_key(jax.random.PRNGKey(0), tfhe.TEST_FAST)
-    assert not sk_fast.block_binary
-    sk_off = tfhe.gen_secret_key(jax.random.PRNGKey(0), tfhe.TEST_BLOCK,
-                                 block_binary=False)
-    assert not sk_off.block_binary
+    with pytest.raises(ValueError):
+        tfhe.gen_secret_key(jax.random.PRNGKey(0), tfhe.TEST_FAST,
+                            block_binary=True)
 
 
 @pytest.fixture(scope="module")
 def block_keys():
     p = tfhe.TEST_BLOCK
     k1, k2 = jax.random.split(jax.random.PRNGKey(11))
-    sk = tfhe.gen_secret_key(k1, p)
+    sk = tfhe.gen_secret_key(k1, p, block_binary=True)
     assert sk.block_binary
     ck = tfhe.gen_cloud_key(k2, sk, p)
     assert ck.block_binary

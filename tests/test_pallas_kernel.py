@@ -1,0 +1,157 @@
+"""Pallas TPU external-product kernel, executed off-TPU via interpret mode.
+
+Covers every branch of ops/pallas_extprod.py bit-exactly against the
+portable Toeplitz-einsum oracle (ops/polymul.py):
+
+* nd=1 single-limb digits (the 80/110/128-bit shape),
+* k_split > 1 (the f32 exactness split),
+* block-fused row layouts (rows = block_size * 2L),
+* nd=3 multi-limb digits with weight-skipping (the Uint2-5 shape),
+* end-to-end blind_rotate_tpu == blind_rotate and the block variant.
+
+``pallas_extprod.INTERPRET`` is set at import time (before any call traces)
+so every pallas_call in this module runs in the CPU interpreter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from go_tfhe_tpu.ops import pallas_extprod
+
+pallas_extprod.INTERPRET = True
+
+import go_tfhe_tpu as tfhe  # noqa: E402
+from go_tfhe_tpu.ops.blindrotate import (blind_rotate, blind_rotate_block,  # noqa: E402
+                                         blind_rotate_block_tpu,
+                                         blind_rotate_tpu)
+from go_tfhe_tpu.ops.pallas_extprod import extprod_pallas, pack_bsk_band  # noqa: E402
+from go_tfhe_tpu.ops.polymul import (ext_band_from_trgsw,  # noqa: E402
+                                     negacyclic_extprod_toeplitz,
+                                     split_signed_limbs_i8)
+from go_tfhe_tpu.params import TFHEParams  # noqa: E402
+
+# Pallas-eligible toy profile: N=256 (min for the tn=256 column tile),
+# bgbit=8/l=3 makes half_bg=128 so k_split=2 is exercised
+# (2L*N * 128 * 128 = 2^24.58 >= 2^24).  lwe_n=8 keeps the interpreted
+# sequential loop short.
+TEST_PALLAS = TFHEParams(
+    name="test_pallas",
+    lwe_n=8, lwe_alpha=1.0 / (1 << 24),
+    n=256, lv1_alpha=1.0 / (1 << 30), nbit=8,
+    bgbit=8, l=3, basebit=4, iks_t=6, block_size=1,
+)
+
+TEST_PALLAS_BLOCK = TFHEParams(
+    name="test_pallas_block",
+    lwe_n=9, lwe_alpha=1.0 / (1 << 24),
+    n=256, lv1_alpha=1.0 / (1 << 30), nbit=8,
+    bgbit=8, l=3, basebit=4, iks_t=6, block_size=2,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _rand_trgsw(l2, n):
+    return jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(1, l2, 2, n), dtype=np.uint64).astype(np.uint32))
+
+
+def _check_extprod(n, l2, b, limb_mag, k_split_expect=None):
+    k_u32 = _rand_trgsw(l2, n)
+    digits = jnp.asarray(RNG.integers(
+        -limb_mag, limb_mag, size=(b, l2, n), dtype=np.int8))
+    band = pack_bsk_band(k_u32)[0]
+    if k_split_expect is not None:
+        ks = 1
+        while (l2 * n // ks) * limb_mag * 128 >= pallas_extprod._EXACT_BOUND:
+            ks *= 2
+        assert ks == k_split_expect
+    out = np.moveaxis(np.asarray(
+        extprod_pallas(digits, band, limb_mag=limb_mag, tb=b)), 0, 1)
+    ref = np.asarray(negacyclic_extprod_toeplitz(
+        digits.astype(jnp.int32), ext_band_from_trgsw(k_u32)[0]))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_extprod_nd1_single_limb():
+    """128-bit-like shape (half_bg=32), k_split=1."""
+    _check_extprod(n=256, l2=6, b=8, limb_mag=32, k_split_expect=1)
+
+
+def test_extprod_nd1_k_split():
+    """half_bg=128 digits force the f32 split-K branch (k_split=2)."""
+    _check_extprod(n=256, l2=6, b=8, limb_mag=128, k_split_expect=2)
+
+
+def test_extprod_block_rows():
+    """Block-fused layout: rows = block_size*2L = 12 (bs=2, L=3)."""
+    _check_extprod(n=256, l2=12, b=8, limb_mag=32)
+
+
+def test_extprod_multi_limb_nd3():
+    """Uint-profile digits (|d| <= 2^21) split into 3 signed limbs with
+    weight-skipping (terms with limb weight >= 2^32 dropped)."""
+    n, l2, b, nd = 256, 2, 8, 3
+    half_bg = 1 << 21
+    k_u32 = _rand_trgsw(l2, n)
+    d32 = jnp.asarray(RNG.integers(
+        -half_bg, half_bg, size=(b, l2, n), dtype=np.int64).astype(np.int32))
+    digits = jnp.moveaxis(split_signed_limbs_i8(d32, nd), 0, 1)
+    band = pack_bsk_band(k_u32)[0]
+    out = np.moveaxis(np.asarray(
+        extprod_pallas(digits, band, limb_mag=128, tb=b)), 0, 1)
+    ref = np.asarray(negacyclic_extprod_toeplitz(
+        d32, ext_band_from_trgsw(k_u32)[0]))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_extprod_narrow_column_tile():
+    """tn < the band's packed pad (the block path shrinks tn to fit VMEM)."""
+    n, l2, b = 256, 6, 8
+    k_u32 = _rand_trgsw(l2, n)
+    digits = jnp.asarray(RNG.integers(-32, 32, size=(b, l2, n),
+                                      dtype=np.int8))
+    band = pack_bsk_band(k_u32)[0]
+    out = np.moveaxis(np.asarray(
+        extprod_pallas(digits, band, limb_mag=32, tb=b, tn=128)), 0, 1)
+    ref = np.asarray(negacyclic_extprod_toeplitz(
+        digits.astype(jnp.int32), ext_band_from_trgsw(k_u32)[0]))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.slow
+def test_blind_rotate_tpu_matches_portable():
+    """End-to-end: the Pallas blind rotate must equal the portable one
+    bit-exactly (both are exact integer paths) on a Pallas-eligible
+    profile, including the testvec rotation and all lwe_n steps."""
+    p = TEST_PALLAS
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    assert ck.bsk_band is not None
+    b = 8
+    ct = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
+    ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
+    got = np.asarray(blind_rotate_tpu(p, ck.bsk_band, ct, ck.testvec, tb=b))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_blind_rotate_block_tpu_matches_portable():
+    """Block-fused Pallas blind rotate (incl. ragged tail) == portable
+    block path, bit-exactly."""
+    p = TEST_PALLAS_BLOCK
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    sk = tfhe.gen_secret_key(k1, p, block_binary=True)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    assert ck.bsk_band is not None
+    b = 8
+    ct = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
+    ref = np.asarray(blind_rotate_block(p, ck.bsk_kernel, ct, ck.testvec))
+    got = np.asarray(blind_rotate_block_tpu(p, ck.bsk_band, ct, ck.testvec,
+                                            tb=b))
+    np.testing.assert_array_equal(got, ref)
