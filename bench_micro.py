@@ -1,0 +1,149 @@
+"""Micro-benchmarks mirroring the reference's benchmark families.
+
+The Go reference has 19 benchmark functions in 4 families:
+* keygen / encrypt / decrypt       (gates/gates_test.go:488-640)
+* polynomial kernel                 (poly/poly_test.go:64-124)
+* PBS incl. Uint5                   (evaluator/programmable_bootstrap_test.go:212-266,
+                                     params/uint_params_test.go:150-216)
+* proxy re-encryption               (proxyreenc/proxyreenc_test.go:193-238)
+
+This script emits one JSON line PER metric (machine-readable), then a
+summary.  Usage:  python bench_micro.py [--quick]
+
+``--quick`` runs the cheap families only (no Uint5 PBS) — useful on CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import go_tfhe_tpu as tfhe
+from go_tfhe_tpu import cipher, engine, lut, proxyreenc
+from go_tfhe_tpu.ops.polymul import negacyclic_mul_binary
+
+RESULTS = []
+
+
+def emit(metric: str, seconds: float, unit_count: float = 1.0,
+         unit: str = "ms") -> None:
+    value = seconds * 1e3 / unit_count
+    RESULTS.append({"metric": metric, "value": round(value, 3), "unit": unit})
+    print(json.dumps(RESULTS[-1]), flush=True)
+
+
+def timed(fn, *args, reps=3):
+    """Compile/warm-up once, then steady-state average with host readback
+    (block_until_ready does not block through the axon tunnel)."""
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    for _i in range(reps):
+        out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / reps
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    on_tpu = jax.default_backend() == "tpu"
+    p = tfhe.P128 if on_tpu else tfhe.TEST_FAST
+    batch = 4096 if on_tpu else 16
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    # --- keygen family (reference: ~5-10 s at 128-bit, README.md:397) ------
+    t0 = time.perf_counter()
+    sk = tfhe.gen_secret_key(keys[0], p)
+    _ = np.asarray(sk.lv0)[:1]
+    emit(f"keygen_secret_{p.name}", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    ck = tfhe.gen_cloud_key(keys[1], sk, p)
+    _ = np.asarray(ck.bsk)[:1, :1, :1, :1]
+    if ck.bsk_band is not None:
+        _ = np.asarray(ck.bsk_band)[:1, :1, :1, :1]
+    emit(f"keygen_cloud_{p.name}", time.perf_counter() - t0)
+
+    # --- encrypt / decrypt family ------------------------------------------
+    bits = np.resize([False, True], batch)
+    dt = timed(lambda: cipher.lwe_encrypt_bool(keys[2], bits, p.lwe_alpha,
+                                               sk.lv0))
+    emit(f"encrypt_bool_{p.name}", dt, batch, "us*? (ms/batch)")
+    ct = cipher.lwe_encrypt_bool(keys[2], bits, p.lwe_alpha, sk.lv0)
+    dt = timed(lambda: cipher.lwe_decrypt_bool(ct, sk.lv0))
+    emit(f"decrypt_bool_{p.name}", dt, batch, "us*? (ms/batch)")
+
+    # --- polynomial kernel family (poly/poly_test.go:64-124) ----------------
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2 ** 32, size=(batch, p.n),
+                                 dtype=np.uint64).astype(np.uint32))
+    dt = timed(negacyclic_mul_binary, a, sk.lv1)
+    emit(f"polymul_binary_{p.name}_batch{batch}", dt)
+
+    # --- gate bootstrap (the headline lives in bench.py; here per-gate) ----
+    ct_b = cipher.lwe_encrypt_bool(keys[3], ~bits, p.lwe_alpha, sk.lv0)
+    dt = timed(lambda: engine.bootstrap(ck, engine.prepare_and(ct, ct_b)))
+    emit(f"gate_bootstrap_{p.name}_batch{batch}", dt)
+    emit(f"gate_bootstrap_{p.name}_per_ct", dt, batch)
+
+    # --- key switch share ----------------------------------------------------
+    lv1 = jnp.asarray(rng.integers(0, 2 ** 32, size=(batch, p.n + 1),
+                                   dtype=np.uint64).astype(np.uint32))
+    from go_tfhe_tpu.ops.keyswitch import identity_key_switch
+    import functools
+    ksj = jax.jit(functools.partial(identity_key_switch, p))
+    dt = timed(ksj, ck.ksk, lv1)
+    emit(f"key_switch_{p.name}_batch{batch}", dt)
+
+    # --- PBS family ----------------------------------------------------------
+    if not quick:
+        pu = tfhe.get_params("uint5") if on_tpu else tfhe.TEST_NIBBLE
+        sku = tfhe.gen_secret_key(keys[4], pu)
+        t0 = time.perf_counter()
+        cku = tfhe.gen_cloud_key(keys[5], sku, pu)
+        _ = np.asarray(cku.bsk)[:1, :1, :1, :1]
+        emit(f"keygen_cloud_{pu.name}", time.perf_counter() - t0)
+        msgs = np.arange(batch) % pu.message_modulus
+        ctu = cipher.lwe_encrypt_message(keys[6], msgs, pu.message_modulus,
+                                         pu.lwe_alpha, sku.lv0)
+        m = pu.message_modulus
+        dt = timed(lambda: lut.bootstrap_func(cku, ctu, lambda x: (x + 1) % m,
+                                              m), reps=2)
+        emit(f"pbs_{pu.name}_batch{batch}", dt)
+        emit(f"pbs_{pu.name}_per_ct", dt, batch)
+        out = lut.bootstrap_func(cku, ctu, lambda x: (x + 1) % m, m)
+        dec = np.asarray(cipher.lwe_decrypt_message(out, m, sku.lv0))
+        ok = (dec == (msgs + 1) % m).mean()
+        print(json.dumps({"metric": f"pbs_{pu.name}_accuracy",
+                          "value": float(ok), "unit": "fraction"}),
+              flush=True)
+
+    # --- proxy re-encryption family (CHANGELOG.md:26-28) --------------------
+    pp = tfhe.P80 if on_tpu else tfhe.TEST_FAST
+    alice = tfhe.gen_secret_key(keys[6], pp)
+    bob = tfhe.gen_secret_key(keys[7], pp)
+    t0 = time.perf_counter()
+    pk_bob = proxyreenc.gen_public_key(jax.random.PRNGKey(11), bob.lv0, pp)
+    _ = np.asarray(pk_bob.encryptions)[:1, :1]
+    emit(f"proxy_pubkey_{pp.name}", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    rk = proxyreenc.gen_reencryption_key_symmetric(
+        jax.random.PRNGKey(12), alice.lv0, bob.lv0, pp)
+    _ = np.asarray(rk.table)[:1, :1]
+    emit(f"proxy_reenc_keygen_sym_{pp.name}", time.perf_counter() - t0)
+    cta = cipher.lwe_encrypt_bool(jax.random.PRNGKey(13), bits, pp.lwe_alpha,
+                                  alice.lv0)
+    dt = timed(proxyreenc.reencrypt, rk, cta)
+    emit(f"proxy_reencrypt_{pp.name}_batch{batch}", dt)
+
+    print(json.dumps({"summary": RESULTS}))
+
+
+if __name__ == "__main__":
+    main()

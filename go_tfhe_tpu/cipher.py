@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .params import TFHEParams
-from .ops.polymul import negacyclic_mul_fixed
+from .ops.polymul import negacyclic_mul_binary
 from .utils.rng import gaussian_torus, uniform_torus
 from .utils.torus import TORUS, f64_to_torus, to_signed, to_unsigned
 
@@ -132,13 +132,13 @@ def trlwe_encrypt_torus(rng: Array, mu_torus: Array, alpha: float,
     mu = jnp.asarray(mu_torus, TORUS)
     k_a, k_e = jax.random.split(rng)
     a = uniform_torus(k_a, mu.shape)
-    b = gaussian_torus(k_e, mu, alpha, mu.shape) + negacyclic_mul_fixed(
+    b = gaussian_torus(k_e, mu, alpha, mu.shape) + negacyclic_mul_binary(
         a, key_u32)
     return jnp.stack([a, b], axis=-2)
 
 
 def trlwe_phase(ct: Array, key_u32: Array) -> Array:
-    return ct[..., 1, :] - negacyclic_mul_fixed(ct[..., 0, :], key_u32)
+    return ct[..., 1, :] - negacyclic_mul_binary(ct[..., 0, :], key_u32)
 
 
 def trlwe_encrypt_bool(rng: Array, bits, alpha: float, key_u32: Array) -> Array:

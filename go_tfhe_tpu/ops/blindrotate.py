@@ -24,6 +24,7 @@ from ..params import TFHEParams
 from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
+from .pallas_rotate import rotate_decompose_pallas
 from .polymul import negacyclic_extprod_toeplitz, split_signed_limbs_i8
 from .rotate import (monomial_mul, monomial_mul_blocks,
                      monomial_mul_blocks_log, monomial_mul_log)
@@ -228,11 +229,29 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
 
     a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
 
+    drop = p.kernel_limb_drop if p.digit_limbs == 1 else 0
+    # int8 x int8 -> int32 MXU dot: measured ~1.7x the bf16 rate on v5e for
+    # this kernel, exact whenever a single contraction fits int32.
+    dot = ("int8" if 2 * p.l * p.n * min(p.half_bg, 128) * 128 < 1 << 31
+           else "bf16")
+    fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
+    if fused_rot and p.l_used < p.l:
+        # approximate gadget: keep only the used levels' band rows
+        keep = jnp.asarray([*range(p.l_used),
+                            *range(p.l, p.l + p.l_used)])
+        bsk_band = bsk_band[:, :, keep, :]
+
     def body(i, acc):
-        rotated = monomial_mul_log(acc, a_tilda[:, i][None, :])
-        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
+        a_i = a_tilda[:, i]
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
-        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag, tb=tb)
+        if fused_rot:
+            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
+            return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
+                                  drop_limbs=drop, dot_dtype=dot, acc=acc)
+        rotated = monomial_mul_log(acc, a_i[None, :])
+        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
+        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag, tb=tb,
+                                    drop_limbs=drop, dot_dtype=dot)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)
@@ -256,12 +275,26 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     shifts = jnp.asarray(
         [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
 
-    # The Toeplitz scratch holds (bs*2L*N, 4*tn) bf16; shrink the column
-    # tile so it stays within VMEM (~16 MB/core) next to the double-buffered
-    # digit blocks.
+    fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
+    if fused_rot and p.l_used < p.l:
+        # approximate gadget: keep only the used levels' band rows
+        keep = jnp.asarray([*range(p.l_used),
+                            *range(p.l, p.l + p.l_used)])
+        bsk_band = bsk_band[:, :, keep, :]
+        l2 = 2 * p.l_used
+
+    # The fused block contraction has bs*2L*N Toeplitz rows — too tall for a
+    # bf16 scratch in VMEM, so this path uses the int8 dot (1 byte/entry,
+    # same MXU rate on this hardware, and exact: rows*half_bg*128 < 2^31).
+    # Shrink the column tile until the scratch fits next to the
+    # double-buffered digit blocks; Mosaic needs tn >= 128.
+    drop = p.kernel_limb_drop if p.digit_limbs == 1 else 0
+    nl = 4 - drop
     tn = 256
-    while bs * l2 * p.n * 4 * tn * 2 > 10 << 20:
+    while tn > 128 and bs * l2 * p.n * nl * tn > 10 << 20:
         tn //= 2
+    assert bs * l2 * p.n * nl * tn <= 12 << 20, (
+        f"block-fused Toeplitz scratch does not fit VMEM for {p.name}")
 
     b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p)          # (B,)
     if testvec.ndim == 2:
@@ -280,19 +313,32 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         bsk_band[:full * bs].reshape(full, bs, 2, l2, w), 2, 1
     ).reshape(full, 2, bs * l2, w)
 
+    fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
+
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a_blk, i, 0, False)      # (bs, B)
-        rotated = monomial_mul_log(acc[None], a_i[:, None, :])  # (bs,2,B,N)
-        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc[None])
         band = lax.dynamic_index_in_dim(band_blk, i, 0, False)
+        if fused_rot:
+            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
+            return extprod_pallas(digits, band, limb_mag=p.half_bg, tn=tn,
+                                  tb=tb, drop_limbs=drop, dot_dtype="int8",
+                                  acc=acc)
+        rotated = monomial_mul_log(acc[None], a_i[:, None, :])
+        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc[None])
         return acc + extprod_pallas(digits, band, limb_mag=limb_mag, tn=tn,
-                                    tb=tb)
+                                    tb=tb, drop_limbs=drop, dot_dtype="int8")
 
     acc = lax.fori_loop(0, full, body, acc)
     for j in range(rem):                      # ragged tail, static indices
         idx = full * bs + j
-        rotated = monomial_mul_log(acc, a_tilda[:, idx][None, :])
-        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
-        acc = acc + extprod_pallas(digits, bsk_band[idx], limb_mag=limb_mag,
-                                   tb=tb)
+        if fused_rot:
+            digits = rotate_decompose_pallas(p, acc, a_tilda[:, idx], tb=tb)
+            acc = extprod_pallas(digits, bsk_band[idx], limb_mag=p.half_bg,
+                                 tb=tb, drop_limbs=drop, acc=acc)
+        else:
+            rotated = monomial_mul_log(acc, a_tilda[:, idx][None, :])
+            digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
+            acc = acc + extprod_pallas(digits, bsk_band[idx],
+                                       limb_mag=limb_mag, tb=tb,
+                                       drop_limbs=drop)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

@@ -8,6 +8,15 @@ one-hot contraction so the KSK streams through the MXU exactly once per batch:
     out = [0,...,0, b]  -  sum_{i,j} KSK[i, j, digit(i,j)]
         = [0,...,0, b]  -  onehot(digits) . KSK            (mod 2^32)
 
+The contraction runs as bf16 x bf16 -> f32 on the MXU: the one-hot is bf16
+and the KSK is split into 4 balanced int8 limbs (bf16-exact) folded into
+the output columns.  Exact: products are |limb| <= 128, at most N*t of the
+N*t*base one-hot entries are nonzero, so every f32 partial sum is an
+integer < 2^20 < 2^24 (f32-exact); limbs recombine with shifts mod 2^32.
+(An int32 one-hot materializes 4x the HBM traffic and XLA lowers integer
+matmuls off the MXU — measured 148 ms per 4096-batch vs ~6 ms for this
+form.)
+
 Digits (trgsw/keyswitch.go:26-29):
     aBar       = a[i] + 2^(32-(1+basebit*t))
     digit(i,j) = (aBar >> (32-(j+1)*basebit)) & (base-1)
@@ -25,8 +34,11 @@ import jax.numpy as jnp
 
 from ..params import TFHEParams
 from ..utils.torus import to_signed, to_unsigned
+from .polymul import split_balanced_limbs_i8
 
 Array = jax.Array
+
+_KS_LIMBS = 4
 
 
 def ks_digits(p: TFHEParams, a_u32: Array) -> Array:
@@ -46,12 +58,23 @@ def identity_key_switch(p: TFHEParams, ksk_u32: Array, ct_lv1: Array) -> Array:
     n = p.n
     digits = ks_digits(p, ct_lv1[..., :n])                  # (..., N, t)
     onehot = (digits[..., None]
-              == jnp.arange(p.base, dtype=jnp.int32)).astype(jnp.int32)
+              == jnp.arange(p.base, dtype=jnp.int32)).astype(jnp.bfloat16)
     lead = ct_lv1.shape[:-1]
     oh = onehot.reshape(lead + (n * p.iks_t * p.base,))
-    ksk_flat = to_signed(ksk_u32).reshape((n * p.iks_t * p.base, p.lwe_n + 1))
-    acc = jnp.matmul(oh, ksk_flat, preferred_element_type=jnp.int32)
-    out = -to_unsigned(acc)
+    # (4, NTB, n0+1) int8 balanced limbs (bf16-exact), folded into columns.
+    limbs = split_balanced_limbs_i8(
+        to_signed(ksk_u32).reshape((n * p.iks_t * p.base, p.lwe_n + 1)),
+        _KS_LIMBS)
+    ksk_bf = jnp.concatenate([limbs[l] for l in range(_KS_LIMBS)],
+                             axis=-1).astype(jnp.bfloat16)
+    acc = jnp.matmul(oh, ksk_bf,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    w = p.lwe_n + 1
+    tot = to_unsigned(acc[..., :w])
+    for l in range(1, _KS_LIMBS):
+        tot = tot + (to_unsigned(acc[..., l * w:(l + 1) * w])
+                     << jnp.uint32(8 * l))
+    out = jnp.zeros_like(tot) - tot
     # out[..., lwe_n] += b  (trgsw/keyswitch.go:21: output b starts at src b).
     b = jnp.zeros(lead + (p.lwe_n + 1,), jnp.uint32).at[..., p.lwe_n].set(
         ct_lv1[..., n])

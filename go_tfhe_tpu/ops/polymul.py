@@ -213,6 +213,35 @@ def negacyclic_extprod_toeplitz(digits_i32: Array, band_i32: Array) -> Array:
     return to_unsigned(out)
 
 
+def negacyclic_mul_binary(a_u32: Array, key_u32: Array) -> Array:
+    """Negacyclic product with a BINARY polynomial (a ring secret key),
+    exact mod 2^32, on the MXU.
+
+    a_u32: (..., N) uint32;  key_u32: (N,) uint32 in {0, 1}.
+
+    The signed band of a binary key has entries in {-1, 0, 1}, so its
+    Toeplitz matrix is bf16-exact; ``a`` splits into 4 balanced int8 limbs
+    (bf16-exact), each limb product is <= 128 and each f32 partial sum is
+    <= N*128 < 2^24 — everything integer-exact, recombined mod 2^32.
+
+    This is the keygen hot path (TRGSW encryption of every LWE key bit,
+    cloudkey/cloudkey.go:123-145): the general int32-convolution form
+    (:func:`negacyclic_mul_fixed`) does not map to the MXU and made 128-bit
+    keygen ~90 s; this form is one batched bf16 matmul.
+    """
+    lead = a_u32.shape[:-1]
+    n = a_u32.shape[-1]
+    t = toeplitz_from_band(ext_band_from_trgsw(key_u32)).astype(jnp.bfloat16)
+    limbs = split_balanced_limbs_i8(to_signed(a_u32), 4)       # (4, ..., N)
+    lhs = limbs.reshape((4, -1, n)).astype(jnp.bfloat16)
+    outs = jnp.einsum("lbj,jn->lbn", lhs, t,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    acc = to_unsigned(outs[0])
+    for l in range(1, 4):
+        acc = acc + (to_unsigned(outs[l]) << jnp.uint32(8 * l))
+    return acc.reshape(lead + (n,))
+
+
 def negacyclic_mul_fixed(a_u32: Array, k_u32: Array) -> Array:
     """Negacyclic product of batched polynomials with one fixed polynomial.
 

@@ -69,6 +69,23 @@ class TFHEParams:
     # LUT size = poly_extend_factor * n (reference: params/UINT_STATUS.md;
     # extended LUTs are advertised for Uint6-8 but unimplemented upstream)
     poly_extend_factor: int = 1
+    # Noise-budget kernel-limb truncation for the Pallas external product
+    # (ops/pallas_extprod.py): drop this many of the 4 bootstrapping-key
+    # limbs, cutting MXU columns proportionally.  0 = bit-exact integer
+    # arithmetic.  1 adds ~2^21.5 phase error over a full 128-bit blind
+    # rotation — 2^7 sigma inside the gate margin (see extprod_pallas
+    # docstring for the analysis); comparable in spirit to the float64 FFT
+    # rounding the reference tolerates.  Crypto parameters are unchanged.
+    kernel_limb_drop: int = 0
+    # Approximate gadget decomposition on the TPU fast path: use only this
+    # many of the L decomposition levels (0 = all).  Standard TFHE
+    # technique (decompositions are already approximate below L*BGBIT
+    # bits); using 2 of the 128-bit profile's 3 levels cuts the contraction
+    # rows by a third and leaves the per-coefficient rounding error at
+    # 2^(32-2*6)/2 = 2^19, which accumulates over ~lwe_n/2 key-bit hits to
+    # std ~2^22.4 — far inside the 2^29 gate margin.  The portable/exact
+    # paths always use all L levels.
+    decomp_levels_used: int = 0
 
     # ---- derived quantities -------------------------------------------------
 
@@ -152,6 +169,11 @@ class TFHEParams:
     def use_block_blind_rotation(self) -> bool:
         """params/params.go:679-681 (advertised; the reference never uses it)."""
         return self.block_size > 1
+
+    @property
+    def l_used(self) -> int:
+        """Decomposition levels used on the TPU fast path."""
+        return self.decomp_levels_used or self.l
 
     @property
     def digits_fit_int8(self) -> bool:
@@ -332,9 +354,23 @@ TEST_EXT3 = TFHEParams(
     message_modulus=12, poly_extend_factor=3,
 )
 
+# Throughput-tuned variants: identical crypto parameters, with the lowest
+# bootstrapping-key limb dropped and 2-of-3 decomposition levels used in
+# the Pallas external product (see TFHEParams.kernel_limb_drop /
+# decomp_levels_used for the noise analyses).  Keys are interchangeable
+# with the base profiles (same shapes/distributions); only the TPU kernel
+# differs.
+P80_FAST = dataclasses.replace(P80, name="80bit_fast", kernel_limb_drop=1,
+                               decomp_levels_used=2)
+P110_FAST = dataclasses.replace(P110, name="110bit_fast", kernel_limb_drop=1,
+                                decomp_levels_used=2)
+P128_FAST = dataclasses.replace(P128, name="128bit_fast", kernel_limb_drop=1,
+                                decomp_levels_used=2)
+
 PROFILES: Dict[str, TFHEParams] = {
     p.name: p
-    for p in (P80, P110, P128, UINT1, UINT2, UINT3, UINT4, UINT5, UINT6,
+    for p in (P80, P110, P128, P80_FAST, P110_FAST, P128_FAST,
+              UINT1, UINT2, UINT3, UINT4, UINT5, UINT6,
               UINT7, UINT8, TEST_FAST, TEST_BLOCK, TEST_PBS, TEST_NIBBLE,
               TEST_EXT2, TEST_EXT3)
 }

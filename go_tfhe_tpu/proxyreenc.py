@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import cipher
+from .ops.polymul import split_balanced_limbs_i8
 from .params import TFHEParams
 from .utils.rng import gaussian_torus
 from .utils.torus import TORUS, to_signed, to_unsigned
@@ -143,13 +144,25 @@ def _reencrypt_core(table: Array, ct: Array, basebit: int, t: int) -> Array:
     a_bar = ct[..., :n] + prec_offset
     digits = ((a_bar[..., None] >> shifts) & jnp.uint32(base - 1)
               ).astype(jnp.int32)                               # (..., n, t)
+    # bf16 one-hot x bf16 limb table on the MXU — exact (see ops.keyswitch:
+    # <= n*t nonzero one-hot entries, |limb| <= 128, so every f32 partial
+    # sum is an integer < 2^21 < 2^24).
     onehot = (digits[..., None]
-              == jnp.arange(base, dtype=jnp.int32)).astype(jnp.int32)
+              == jnp.arange(base, dtype=jnp.int32)).astype(jnp.bfloat16)
     lead = ct.shape[:-1]
     oh = onehot.reshape(lead + (n * t * base,))
-    flat = to_signed(table).reshape((n * t * base, table.shape[-1]))
-    acc = jnp.matmul(oh, flat, preferred_element_type=jnp.int32)
-    out = -to_unsigned(acc)
+    limbs = split_balanced_limbs_i8(
+        to_signed(table).reshape((n * t * base, table.shape[-1])), 4)
+    flat_bf = jnp.concatenate([limbs[l] for l in range(4)],
+                              axis=-1).astype(jnp.bfloat16)
+    acc = jnp.matmul(oh, flat_bf,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    w = table.shape[-1]
+    tot = to_unsigned(acc[..., :w])
+    for l in range(1, 4):
+        tot = tot + (to_unsigned(acc[..., l * w:(l + 1) * w])
+                     << jnp.uint32(8 * l))
+    out = jnp.zeros_like(tot) - tot
     return out.at[..., -1].add(ct[..., n])
 
 

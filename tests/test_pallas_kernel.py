@@ -18,9 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from go_tfhe_tpu.ops import pallas_extprod
+from go_tfhe_tpu.ops import pallas_extprod, pallas_rotate
 
 pallas_extprod.INTERPRET = True
+pallas_rotate.INTERPRET = True
 
 import go_tfhe_tpu as tfhe  # noqa: E402
 from go_tfhe_tpu.ops.blindrotate import (blind_rotate, blind_rotate_block,  # noqa: E402
@@ -58,7 +59,8 @@ def _rand_trgsw(l2, n):
         0, 2 ** 32, size=(1, l2, 2, n), dtype=np.uint64).astype(np.uint32))
 
 
-def _check_extprod(n, l2, b, limb_mag, k_split_expect=None):
+def _check_extprod(n, l2, b, limb_mag, k_split_expect=None,
+                   dot_dtype="bf16"):
     k_u32 = _rand_trgsw(l2, n)
     digits = jnp.asarray(RNG.integers(
         -limb_mag, limb_mag, size=(b, l2, n), dtype=np.int8))
@@ -69,7 +71,8 @@ def _check_extprod(n, l2, b, limb_mag, k_split_expect=None):
             ks *= 2
         assert ks == k_split_expect
     out = np.moveaxis(np.asarray(
-        extprod_pallas(digits, band, limb_mag=limb_mag, tb=b)), 0, 1)
+        extprod_pallas(digits, band, limb_mag=limb_mag, tb=b,
+                       dot_dtype=dot_dtype)), 0, 1)
     ref = np.asarray(negacyclic_extprod_toeplitz(
         digits.astype(jnp.int32), ext_band_from_trgsw(k_u32)[0]))
     np.testing.assert_array_equal(out, ref)
@@ -90,6 +93,12 @@ def test_extprod_block_rows():
     _check_extprod(n=256, l2=12, b=8, limb_mag=32)
 
 
+def test_extprod_int8_dot():
+    """The int8 MXU dot variant (used by the fused block path) is exact."""
+    _check_extprod(n=256, l2=6, b=8, limb_mag=32, dot_dtype="int8")
+    _check_extprod(n=256, l2=12, b=8, limb_mag=128, dot_dtype="int8")
+
+
 def test_extprod_multi_limb_nd3():
     """Uint-profile digits (|d| <= 2^21) split into 3 signed limbs with
     weight-skipping (terms with limb weight >= 2^32 dropped)."""
@@ -107,6 +116,30 @@ def test_extprod_multi_limb_nd3():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_extprod_limb_truncation_spec():
+    """drop_limbs=1 must differ from the exact product by EXACTLY the
+    dropped limb-0 contribution: out_exact = out_drop + digits (*) limb0(D)
+    (mod 2^32) — a precise spec, not a tolerance."""
+    n, l2, b = 256, 6, 8
+    k_u32 = _rand_trgsw(l2, n)
+    digits = jnp.asarray(RNG.integers(-32, 32, size=(b, l2, n),
+                                      dtype=np.int8))
+    band = pack_bsk_band(k_u32)[0]
+    out_exact = np.moveaxis(np.asarray(
+        extprod_pallas(digits, band, limb_mag=32, tb=b)), 0, 1)
+    out_drop = np.moveaxis(np.asarray(
+        extprod_pallas(digits, band, limb_mag=32, tb=b, drop_limbs=1)), 0, 1)
+    # limb0 of D as an int32 band, contracted the portable way.
+    from go_tfhe_tpu.ops.polymul import _neg_ext, split_balanced_limbs_i8
+    from go_tfhe_tpu.utils.torus import to_signed
+    d_band = _neg_ext(k_u32)[0]                          # (l2, 2, 2n) uint32
+    limb0 = split_balanced_limbs_i8(to_signed(d_band), 4)[0].astype(jnp.int32)
+    contrib = np.asarray(negacyclic_extprod_toeplitz(
+        digits.astype(jnp.int32), limb0))
+    np.testing.assert_array_equal(
+        out_exact, (out_drop.astype(np.int64) + contrib) % (1 << 32))
+
+
 def test_extprod_narrow_column_tile():
     """tn < the band's packed pad (the block path shrinks tn to fit VMEM)."""
     n, l2, b = 256, 6, 8
@@ -119,6 +152,30 @@ def test_extprod_narrow_column_tile():
     ref = np.asarray(negacyclic_extprod_toeplitz(
         digits.astype(jnp.int32), ext_band_from_trgsw(k_u32)[0]))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_rotate_decompose_fused():
+    """The fused rotate+decompose kernel == monomial_mul_log followed by
+    gadget_decompose, bit-exactly, incl. multi-bit (block) layouts."""
+    from go_tfhe_tpu.ops.decompose import gadget_decompose
+    from go_tfhe_tpu.ops.pallas_rotate import rotate_decompose_pallas
+    from go_tfhe_tpu.ops.rotate import monomial_mul_log
+    p = TEST_PALLAS
+    b = 8
+    acc = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(2, b, p.n), dtype=np.uint64).astype(np.uint32))
+    for bs in (1, 3):
+        amounts = jnp.asarray(RNG.integers(
+            0, 2 * p.n + 1, size=(bs, b), dtype=np.int64).astype(np.int32))
+        got = np.asarray(rotate_decompose_pallas(p, acc, amounts, tb=b))
+        # reference composition: per block bit, rotate (2,B,N) then digits
+        refs = []
+        for j in range(bs):
+            rot = monomial_mul_log(acc, amounts[j][None, :])
+            diff = jnp.moveaxis(rot - acc, 1, 0)          # (B, 2, N)
+            refs.append(np.asarray(gadget_decompose(diff, p)))  # (B, 2L, N)
+        ref = np.concatenate(refs, axis=1)                # (B, bs*2L, N)
+        np.testing.assert_array_equal(got, ref, err_msg=f"bs={bs}")
 
 
 @pytest.mark.slow
@@ -137,6 +194,43 @@ def test_blind_rotate_tpu_matches_portable():
     ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
     got = np.asarray(blind_rotate_tpu(p, ck.bsk_band, ct, ck.testvec, tb=b))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_blind_rotate_fast_path_margins():
+    """The throughput knobs (kernel_limb_drop=1, decomp_levels_used=2) must
+    (a) still decrypt a NAND truth table correctly end-to-end and (b) stay
+    within a small phase distance of the exact path."""
+    import dataclasses
+    from go_tfhe_tpu import cipher, engine
+    p_fast = dataclasses.replace(TEST_PALLAS, name="test_pallas_fast",
+                                 kernel_limb_drop=1, decomp_levels_used=2)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(9), 4)
+    sk = tfhe.gen_secret_key(k1, TEST_PALLAS)
+    ck_ex = tfhe.gen_cloud_key(k2, sk, TEST_PALLAS)
+    ck_fast = dataclasses.replace(ck_ex, params=p_fast)
+    bits_a = np.array([False, True] * 4)
+    bits_b = np.array([False, False, True, True] * 2)
+    ct_a = cipher.lwe_encrypt_bool(k3, bits_a, p_fast.lwe_alpha, sk.lv0)
+    ct_b = cipher.lwe_encrypt_bool(k4, bits_b, p_fast.lwe_alpha, sk.lv0)
+    prepared = engine.prepare_nand(ct_a, ct_b)
+    from go_tfhe_tpu.ops.keyswitch import identity_key_switch
+    from go_tfhe_tpu.ops.sample_extract import sample_extract
+
+    def boot(p, ck):
+        rot = blind_rotate_tpu(p, ck.bsk_band, prepared, ck.testvec, tb=8)
+        return identity_key_switch(p, ck.ksk, sample_extract(rot, 0))
+
+    out_ex = boot(TEST_PALLAS, ck_ex)
+    out_fast = boot(p_fast, ck_fast)
+    want = ~(bits_a & bits_b)
+    np.testing.assert_array_equal(
+        np.asarray(cipher.lwe_decrypt_bool(out_fast, sk.lv0)), want)
+    # phase deviation between fast and exact far below the 2^29 margin
+    ph_ex = np.asarray(cipher.lwe_phase(out_ex, sk.lv0)).astype(np.int64)
+    ph_fast = np.asarray(cipher.lwe_phase(out_fast, sk.lv0)).astype(np.int64)
+    dev = np.abs(((ph_fast - ph_ex) + 2 ** 31) % 2 ** 32 - 2 ** 31)
+    assert dev.max() < 2 ** 26, dev.max()
 
 
 @pytest.mark.slow
