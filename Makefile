@@ -10,8 +10,8 @@ test:            ## full test suite (CPU, 8 virtual devices)
 test-quick:      ## fast tests only
 	$(PY) -m pytest tests/ -q -m "not slow"
 
-test-slow:       ## long-running end-to-end tests
-	$(PY) -m pytest tests/ -q -m slow
+test-slow:       ## long-running tests incl. production parameter sets
+	$(PY) -m pytest tests/ -q -m "slow or production" --override-ini addopts=
 
 bench:           ## headline benchmark (one JSON line)
 	$(PY) bench.py

@@ -23,12 +23,18 @@ import jax
 import numpy as np
 
 import go_tfhe_tpu as tfhe
+from go_tfhe_tpu.utils.backend import select_backend
 from go_tfhe_tpu import bitutils, cipher
 from go_tfhe_tpu.models import adders
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "cpu", "tpu"),
+                    help="platform; auto picks TPU only for Pallas-eligible "
+                         "profiles (JAX_PLATFORMS env is overridden by TPU "
+                         "plugins -- see utils/backend.py)")
     ap.add_argument("--profile", default="test_nibble",
                     help="messageModulus>=32 profile (uint5 for production)")
     ap.add_argument("--bool-profile", default="test_fast",
@@ -42,6 +48,14 @@ def main():
 
     # ---- PBS nibble method -------------------------------------------------
     p = tfhe.get_params(args.profile)
+    # This example runs TWO profiles (PBS + ripple-carry boolean); the
+    # platform is frozen at first use, so auto-select on the less
+    # TPU-friendly of the two.
+    from go_tfhe_tpu.utils.backend import pallas_eligible
+    p_bool = tfhe.get_params(args.bool_profile)
+    pick = p if pallas_eligible(p_bool) else p_bool
+    backend = select_backend(pick, args.backend)
+    print(f"backend: {backend}")
     assert p.message_modulus >= 32, "nibble adder needs messageModulus >= 32"
     print(f"[PBS nibble] profile: {tfhe.security_info(p)}")
     k_sk, k_ck, k_e = jax.random.split(jax.random.PRNGKey(0), 3)

@@ -19,14 +19,22 @@ import jax.numpy as jnp
 import numpy as np
 
 import go_tfhe_tpu as tfhe
+from go_tfhe_tpu.utils.backend import select_backend
 from go_tfhe_tpu import cipher, lut
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "cpu", "tpu"),
+                    help="platform; auto picks TPU only for Pallas-eligible "
+                         "profiles (JAX_PLATFORMS env is overridden by TPU "
+                         "plugins -- see utils/backend.py)")
     ap.add_argument("--profile", default="test_pbs")
     args = ap.parse_args()
     p = tfhe.get_params(args.profile)
+    backend = select_backend(p, args.backend)
+    print(f"backend: {backend}")
     m = p.message_modulus
     print(f"profile: {tfhe.security_info(p)}; messageModulus={m}")
 

@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 import go_tfhe_tpu as tfhe
+from go_tfhe_tpu.utils.backend import select_backend
 from go_tfhe_tpu import cipher, proxyreenc
 
 
@@ -28,10 +29,17 @@ def acc(dec, bits):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "cpu", "tpu"),
+                    help="platform; auto picks TPU only for Pallas-eligible "
+                         "profiles (JAX_PLATFORMS env is overridden by TPU "
+                         "plugins -- see utils/backend.py)")
     ap.add_argument("--profile", default="test_fast")
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     p = tfhe.get_params(args.profile)
+    backend = select_backend(p, args.backend)
+    print(f"backend: {backend}")
     print(f"profile: {tfhe.security_info(p)}")
 
     ks = jax.random.split(jax.random.PRNGKey(0), 8)

@@ -16,4 +16,4 @@ from .polymul import (conv_kernel_from_poly, ext_band_from_trgsw,
                       negacyclic_mul_fixed, split_balanced_limbs_i8,
                       toeplitz_from_band)
 from .rotate import monomial_mul
-from .sample_extract import sample_extract
+from .sample_extract import sample_extract, sample_extract_to_lv0

@@ -24,7 +24,7 @@ from ..params import TFHEParams
 from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
-from .pallas_rotate import rotate_decompose_pallas
+from .pallas_rotate import rotate_decompose_packed, rotate_decompose_pallas
 from .polymul import negacyclic_extprod_toeplitz, split_signed_limbs_i8
 from .rotate import (monomial_mul, monomial_mul_blocks,
                      monomial_mul_blocks_log, monomial_mul_log)
@@ -68,14 +68,22 @@ def blind_rotate(p: TFHEParams, bsk_bands: Array, ct: Array,
     n_lwe = p.lwe_n
     lead = ct.shape[:-1]
 
+    # Dynamic per-row gathers are catastrophically slow on TPU; the log form
+    # composes static slice/concat rotations selected by the bits of the
+    # amount (bit-exact with monomial_mul, see rotate.py).  This keeps the
+    # portable path viable on a TPU host for profiles the Pallas kernel
+    # does not cover (e.g. N not a multiple of 256).
+    rot = (monomial_mul_log if jax.default_backend() == "tpu"
+           else monomial_mul)
+
     b_tilda = 2 * p.n - mod_switch_2n(ct[..., n_lwe], p)       # (...,)
-    acc = monomial_mul(
+    acc = rot(
         jnp.broadcast_to(testvec, lead + (2, p.n)), b_tilda[..., None])
 
     a_tilda = mod_switch_2n(ct[..., :n_lwe], p)                # (..., n_lwe)
 
     def body(i, acc):
-        rotated = monomial_mul(acc, a_tilda[..., i][..., None])
+        rotated = rot(acc, a_tilda[..., i][..., None])
         band = lax.dynamic_index_in_dim(bsk_bands, i, axis=0, keepdims=False)
         return cmux(p, band, acc, rotated)
 
@@ -151,8 +159,11 @@ def blind_rotate_block(p: TFHEParams, bsk_bands: Array, ct: Array,
     l2 = 2 * p.l
     lead = ct.shape[:-1]
 
+    rot = (monomial_mul_log if jax.default_backend() == "tpu"
+           else monomial_mul)                     # see blind_rotate
+
     b_tilda = 2 * p.n - mod_switch_2n(ct[..., p.lwe_n], p)
-    acc = monomial_mul(
+    acc = rot(
         jnp.broadcast_to(testvec, lead + (2, p.n)), b_tilda[..., None])
 
     a_tilda = mod_switch_2n(ct[..., :p.lwe_n], p)              # (..., n_lwe)
@@ -161,7 +172,7 @@ def blind_rotate_block(p: TFHEParams, bsk_bands: Array, ct: Array,
 
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a_blk, i, axis=-2, keepdims=False)
-        rotated = monomial_mul(acc[..., None, :, :], a_i[..., :, None])
+        rotated = rot(acc[..., None, :, :], a_i[..., :, None])
         diff = rotated - acc[..., None, :, :]                  # (...,bs,2,N)
         digits = gadget_decompose(diff, p)                     # (...,bs,2L,N)
         digits = digits.reshape(lead + (bs * l2, p.n))
@@ -171,7 +182,7 @@ def blind_rotate_block(p: TFHEParams, bsk_bands: Array, ct: Array,
     acc = lax.fori_loop(0, full, body, acc)
     for j in range(rem):                      # ragged tail, static indices
         idx = full * bs + j
-        rotated = monomial_mul(acc, a_tilda[..., idx][..., None])
+        rotated = rot(acc, a_tilda[..., idx][..., None])
         acc = cmux(p, bsk_bands[idx], acc, rotated)
     return acc
 
@@ -230,9 +241,13 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
 
     drop = p.kernel_limb_drop if p.digit_limbs == 1 else 0
+    # Packed-digit rotation (rotate_decompose_packed): digit entries are
+    # differences of two digits, |D'| <= 2*half_bg.
+    packed_rot = p.fast_rotation and p.l_used <= 2 and p.bgbit <= 6
+    limb_mag = 2 * p.half_bg if packed_rot else min(p.half_bg, 128)
     # int8 x int8 -> int32 MXU dot: measured ~1.7x the bf16 rate on v5e for
     # this kernel, exact whenever a single contraction fits int32.
-    dot = ("int8" if 2 * p.l * p.n * min(p.half_bg, 128) * 128 < 1 << 31
+    dot = ("int8" if 2 * p.l * p.n * limb_mag * 128 < 1 << 31
            else "bf16")
     fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
     if fused_rot and p.l_used < p.l:
@@ -244,14 +259,18 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     def body(i, acc):
         a_i = a_tilda[:, i]
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
+        if packed_rot:
+            digits = rotate_decompose_packed(p, acc, a_i, tb=tb)
+            return extprod_pallas(digits, band_i, limb_mag=limb_mag, tb=tb,
+                                  drop_limbs=drop, dot_dtype=dot, acc=acc)
         if fused_rot:
             digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
             return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
                                   drop_limbs=drop, dot_dtype=dot, acc=acc)
         rotated = monomial_mul_log(acc, a_i[None, :])
-        digits, limb_mag = _pallas_digits(p, shifts, rotated - acc)
-        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag, tb=tb,
-                                    drop_limbs=drop, dot_dtype=dot)
+        digits, limb_mag2 = _pallas_digits(p, shifts, rotated - acc)
+        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag2,
+                                    tb=tb, drop_limbs=drop, dot_dtype=dot)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

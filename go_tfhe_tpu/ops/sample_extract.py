@@ -30,3 +30,22 @@ def sample_extract(trlwe_u32: Array, k: int = 0) -> Array:
     gathered = a[..., src]
     out_a = jnp.where(i <= k, gathered, torus_not(gathered))
     return jnp.concatenate([out_a, b[..., k:k + 1]], axis=-1)
+
+
+def sample_extract_to_lv0(trlwe_u32: Array, lwe_n: int, k: int = 0) -> Array:
+    """Direct TRLWE -> TLWE *level 0* extraction (SampleExtractIndex2,
+    trlwe/trlwe.go:133-154).
+
+    Only valid when the ring degree equals the level-0 LWE dimension
+    (``N == lwe_n``) — i.e. when the ring key IS the level-0 key.  The
+    reference panics on a dimension mismatch (trlwe/trlwe.go:140-142); here
+    it is a ValueError raised at trace time.  For mismatched dimensions use
+    ``sample_extract`` + identity key switching instead.
+    """
+    n = trlwe_u32.shape[-1]
+    if n != lwe_n:
+        raise ValueError(
+            f"sample_extract_to_lv0: TRLWE degree {n} != lwe_n {lwe_n} — "
+            "use sample_extract + identity_key_switch instead "
+            "(trlwe/trlwe.go:140-142)")
+    return sample_extract(trlwe_u32, k)

@@ -86,6 +86,37 @@ class TFHEParams:
     # std ~2^22.4 — far inside the 2^29 gate margin.  The portable/exact
     # paths always use all L levels.
     decomp_levels_used: int = 0
+    # Packed-digit rotation on the TPU fast path (ops/pallas_rotate.py
+    # rotate_decompose_packed): decompose the ACCUMULATOR once, rotate the
+    # four packed digit bytes in one int32 lane (half the VPU rotation
+    # work), and external-multiply D' = X^a.D - D, which by linearity of
+    # the convolution equals the CMUX update  X^a E - E.  Two extra noise
+    # terms vs. decompose-after-subtract, both s_i-scalar-multiplied (the
+    # TRGSW plaintext is the 0/1 LWE key bit, never the ring key):
+    #   * commutation tail  s_i (X^a - 1) eps, |eps| <= 2^(32-l_used*bgbit-1):
+    #     per-step std sqrt(2)*2^17.9, over ~350 active steps ~2^22.9;
+    #   * digit variance doubles (Var(X^a.D - D) = 2 Var(D)), growing the
+    #     BSK-noise and limb-drop terms by sqrt(2) (to ~2^22.1 / ~2^22).
+    # Total bootstrap noise stays ~2^24.6 against the 2^29 gate margin
+    # (mod-switch 2^24.2 still dominates) — > 20 sigma of headroom.
+    # Requires l_used <= 2 and bgbit <= 6 (digit bytes must pack 4-to-an-
+    # int32 with borrow-free biased arithmetic).
+    fast_rotation: bool = False
+    # Per-step offset dithering of the gadget decomposition on the TPU fast
+    # path.  The approximate-gadget tail (decomp_levels_used < L) lives in
+    # the accumulator's LOW bits, which rotate along with the accumulator:
+    # every blind-rotate step re-adds an ALIGNED copy of the same tail
+    # vector, so the tail error grows LINEARLY in the ~n/2 active steps
+    # (measured: the l_used=2 tail costs 2^26.6 of final phase std at the
+    # 128-bit profile — ~18x the sqrt-accumulation prediction).  Adding a
+    # per-step pseudo-random constant u_i (golden-ratio sequence, spanning
+    # the 2^(32-l_used*bgbit) tail grid) to the decomposition offset
+    # re-rounds every step differently, decorrelating the tails and
+    # restoring sqrt(n) accumulation.  Exactness of the represented value
+    # is untouched (the offset only moves WHICH multiple of the gadget
+    # base each digit rounds to); dither=False reproduces the reference
+    # decomposition bit-for-bit.
+    offset_dither: bool = False
 
     # ---- derived quantities -------------------------------------------------
 

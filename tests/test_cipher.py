@@ -84,3 +84,27 @@ def test_batched_encrypt_shapes():
     assert ct.shape == (3, 5, P.lwe_n + 1)
     dec = cipher.lwe_decrypt_bool(ct, sk.lv0)
     assert dec.shape == (3, 5)
+
+
+def test_sample_extract_to_lv0():
+    """SampleExtractIndex2 (trlwe/trlwe.go:133-154): valid only when the
+    ring degree equals lwe_n; the extracted sample decrypts under the ring
+    key read as a level-0 key."""
+    import pytest
+    from go_tfhe_tpu.ops import sample_extract, sample_extract_to_lv0
+
+    sk = _keys()
+    bits = np.asarray(
+        jax.random.bernoulli(jax.random.PRNGKey(9), 0.5, (P.n,)))
+    ct = cipher.trlwe_encrypt_bool(jax.random.PRNGKey(10), bits,
+                                   P.lv1_alpha, sk.lv1)
+    # Matching dims (lwe_n == N): identical to level-1 extraction, and the
+    # coefficient-0 message decrypts correctly under the ring key.
+    out = sample_extract_to_lv0(ct, P.n, k=0)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(sample_extract(ct, 0)))
+    dec = bool(cipher.lwe_decrypt_bool(out, sk.lv1))
+    assert dec == bool(bits[0])
+    # Dimension mismatch is a trace-time error, not a silent wrong answer.
+    with pytest.raises(ValueError, match="use sample_extract"):
+        sample_extract_to_lv0(ct, P.lwe_n)

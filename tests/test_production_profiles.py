@@ -1,0 +1,137 @@
+"""End-to-end correctness at PRODUCTION parameter sets (CPU portable path,
+uniform-binary keys — the reference's own distribution).
+
+Mirrors the reference's practice of testing at real security levels:
+* gate truth tables at 80/128-bit         (gates/gates_test.go:23-366)
+* PBS identity/complement/modulo sweeps
+  for Uint2/Uint3/Uint5                   (params/uint_params_test.go:17-127)
+* the Uint5 nibble adder — the BASELINE
+  config (3 PBS per 8-bit add)            (examples/add_two_numbers/main.go:44-136)
+
+These run real 512-2048-degree polynomials through 687-1071-step blind
+rotations, so they are marked ``production`` and excluded from the default
+CI run (pytest.ini addopts); ``make test-slow`` selects them.  Measured
+runtimes on the 2-core dev box are noted per test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import go_tfhe_tpu as tfhe
+from go_tfhe_tpu import cipher, engine, lut
+
+pytestmark = [pytest.mark.slow, pytest.mark.production]
+
+A = np.array([False, False, True, True])
+B = np.array([False, True, False, True])
+
+# name -> (prepare fn, truth table) — all ten 2-input gates.
+GATES = {
+    "NAND": (engine.prepare_nand, ~(A & B)),
+    "AND": (engine.prepare_and, A & B),
+    "OR": (engine.prepare_or, A | B),
+    "XOR": (engine.prepare_xor, A ^ B),
+    "XNOR": (engine.prepare_xnor, ~(A ^ B)),
+    "NOR": (engine.prepare_nor, ~(A | B)),
+    "ANDNY": (engine.prepare_andny, ~A & B),
+    "ANDYN": (engine.prepare_andyn, A & ~B),
+    "ORNY": (engine.prepare_orny, ~A | B),
+    "ORYN": (engine.prepare_oryn, A | ~B),
+}
+
+
+def _gate_truth_tables(p):
+    """All 10 gates x 4 combos in ONE batched bootstrap call (batch 40)."""
+    k1, k2, ka, kb = jax.random.split(jax.random.PRNGKey(0), 4)
+    sk = tfhe.gen_secret_key(k1, p)              # uniform binary (default)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ct_a = cipher.lwe_encrypt_bool(ka, A, p.lwe_alpha, sk.lv0)
+    ct_b = cipher.lwe_encrypt_bool(kb, B, p.lwe_alpha, sk.lv0)
+
+    names = sorted(GATES)
+    prepared = jnp.concatenate([GATES[n][0](ct_a, ct_b) for n in names])
+    out = engine.bootstrap(ck, prepared)         # (40, lwe_n+1)
+    dec = np.asarray(cipher.lwe_decrypt_bool(out, sk.lv0)).reshape(-1, 4)
+    for row, name in zip(dec, names):
+        np.testing.assert_array_equal(row, GATES[name][1], err_msg=name)
+
+
+def test_gates_128bit():
+    """Full truth tables at the 128-bit profile (~3 min on 2-core CPU)."""
+    _gate_truth_tables(tfhe.P128)
+
+
+def test_gates_80bit():
+    """Full truth tables at the 80-bit profile (~2.5 min on 2-core CPU)."""
+    _gate_truth_tables(tfhe.P80)
+
+
+def _pbs_sweep(p, messages):
+    """Identity / complement / modulo PBS over a message sample, all in ONE
+    batched call with per-ciphertext LUTs (params/uint_params_test.go:17-127).
+    """
+    m = p.message_modulus
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+
+    gen = lut.Generator(p)
+    funcs = {
+        "identity": lambda x: x,
+        "complement": lambda x: (m - 1) - x,
+        "mod3": lambda x: x % 3,
+    }
+    cts, luts, want = [], [], []
+    for fname, f in funcs.items():
+        for msg in messages:
+            cts.append(cipher.lwe_encrypt_message(
+                jax.random.fold_in(k3, len(cts)), msg, m, p.lwe_alpha,
+                sk.lv0))
+            luts.append(gen.gen_lut(f))
+            want.append(f(msg) % m)
+    out = lut.bootstrap_lut(ck, jnp.stack(cts), jnp.stack(luts))
+    got = np.asarray(cipher.lwe_decrypt_message(out, m, sk.lv0))
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_pbs_uint2():
+    """Uint2 (N=512, n=687, BGBIT=18): full 4-message domain, 3 functions
+    (~1.5 min on 2-core CPU)."""
+    _pbs_sweep(tfhe.UINT2, range(4))
+
+
+def test_pbs_uint3():
+    """Uint3 (N=1024, n=820, BGBIT=23): 4-message sample, 3 functions
+    (~3 min on 2-core CPU)."""
+    _pbs_sweep(tfhe.UINT3, [0, 3, 5, 7])
+
+
+def test_pbs_uint5():
+    """Uint5 (N=2048, n=1071) — the BASELINE.json PBS config: 4-message
+    sample, 3 functions (~8 min on 2-core CPU)."""
+    _pbs_sweep(tfhe.UINT5, [0, 9, 17, 31])
+
+
+def test_uint5_nibble_adder():
+    """8-bit addition via 3 Uint5 programmable bootstraps — the reference's
+    headline PBS demo at its production profile
+    (examples/add_two_numbers/main.go:44-136, ~8 min on 2-core CPU)."""
+    from go_tfhe_tpu.models import adders
+
+    p = tfhe.UINT5
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+
+    va, vb = 0xA7, 0x5C                        # 167 + 92 = 259 -> 0x03
+    keys = jax.random.split(k3, 4)
+    enc = lambda k, v: cipher.lwe_encrypt_message(k, v, 32, p.lwe_alpha,
+                                                  sk.lv0)
+    sum_low, sum_high = adders.add8_pbs(
+        ck, enc(keys[0], va & 0xF), enc(keys[1], va >> 4),
+        enc(keys[2], vb & 0xF), enc(keys[3], vb >> 4))
+    lo = int(cipher.lwe_decrypt_message(sum_low, 32, sk.lv0)) & 0xF
+    hi = int(cipher.lwe_decrypt_message(sum_high, 32, sk.lv0)) & 0xF
+    assert (hi << 4) | lo == (va + vb) & 0xFF
