@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..params import TFHEParams
+from ..utils.torus import to_signed
 from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
@@ -212,6 +213,25 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
     return digits.reshape(b, nd, rows, n), 128
 
 
+def _dither_offsets(p: TFHEParams) -> Array | None:
+    """Per-step decomposition offsets for the TPU fast path (int32
+    (n_lwe,) or None).  A golden-ratio multiplicative sequence masked to
+    the gadget-tail grid: re-rounds every step differently so the
+    approximate-gadget tails decorrelate across steps instead of adding
+    coherently (see params.TFHEParams.offset_dither for the measured
+    effect)."""
+    if not p.offset_dither:
+        return None
+    tail_bits = 32 - p.l_used * p.bgbit
+    steps = jnp.arange(1, p.lwe_n + 1, dtype=jnp.uint32)
+    u = (steps * jnp.uint32(0x9E3779B9)) & jnp.uint32((1 << tail_bits) - 1)
+    # Center the dither: an offset shift of u moves the REPRESENTED value
+    # by +u (Sum D g = x + u - tail), so u must be zero-mean across steps
+    # or the accumulator drifts by ~n/2 * E[u] systematically.
+    u = u - jnp.uint32(1 << (tail_bits - 1))         # wraps: centered
+    return to_signed(jnp.uint32(p.decomposition_offset) + u)
+
+
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
                      testvec: Array, tb: int = 128) -> Array:
     """TPU fast path: log-rotation + Pallas bf16 MXU external product.
@@ -256,15 +276,21 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
                             *range(p.l, p.l + p.l_used)])
         bsk_band = bsk_band[:, :, keep, :]
 
+    dith = _dither_offsets(p)
+
     def body(i, acc):
         a_i = a_tilda[:, i]
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
+        off_i = (None if dith is None
+                 else lax.dynamic_index_in_dim(dith, i, 0, False))
         if packed_rot:
-            digits = rotate_decompose_packed(p, acc, a_i, tb=tb)
+            digits = rotate_decompose_packed(p, acc, a_i, tb=tb,
+                                             offset=off_i)
             return extprod_pallas(digits, band_i, limb_mag=limb_mag, tb=tb,
                                   drop_limbs=drop, dot_dtype=dot, acc=acc)
         if fused_rot:
-            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
+            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb,
+                                             offset=off_i)
             return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
                                   drop_limbs=drop, dot_dtype=dot, acc=acc)
         rotated = monomial_mul_log(acc, a_i[None, :])
@@ -333,12 +359,16 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     ).reshape(full, 2, bs * l2, w)
 
     fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
+    dith = _dither_offsets(p)
 
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a_blk, i, 0, False)      # (bs, B)
         band = lax.dynamic_index_in_dim(band_blk, i, 0, False)
+        off_i = (None if dith is None
+                 else lax.dynamic_index_in_dim(dith, i, 0, False))
         if fused_rot:
-            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
+            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb,
+                                             offset=off_i)
             return extprod_pallas(digits, band, limb_mag=p.half_bg, tn=tn,
                                   tb=tb, drop_limbs=drop, dot_dtype="int8",
                                   acc=acc)

@@ -41,9 +41,11 @@ Array = jax.Array
 INTERPRET = False
 
 
-def _rotdec_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int, bs: int,
-                   l: int, bgbit: int, offset: int):
+def _rotdec_kernel(acc_ref, amt_ref, off_ref, out_ref, *, n: int,
+                   nbits: int, bs: int, l: int, bgbit: int):
     """acc_ref: (2, TB, N) int32;  amt_ref: (TB, bs) int32;
+    off_ref: (1, 1) int32 SMEM decomposition offset (traced: per-step
+    dithering, see params.offset_dither);
     out_ref: (TB, bs*2L, N) int8 digits of X^amt . acc - acc."""
     half_bg = 1 << (bgbit - 1)
     mask = (1 << bgbit) - 1
@@ -62,15 +64,15 @@ def _rotdec_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int, bs: int,
                     rolled = ~x
                 bit = (amt >> b) & 1
                 x = jnp.where(bit > 0, rolled, x)
-            tmp = (x - x0) + jnp.int32(offset)             # wraps mod 2^32
+            tmp = (x - x0) + off_ref[0, 0]                 # wraps mod 2^32
             for lv in range(l):
                 sh = 32 - (lv + 1) * bgbit
                 d = ((tmp >> sh) & mask) - half_bg
                 out_ref[:, (j * 2 + c) * l + lv, :] = d.astype(jnp.int8)
 
 
-def _rotdec_packed_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
-                          l: int, bgbit: int, offset: int):
+def _rotdec_packed_kernel(acc_ref, amt_ref, off_ref, out_ref, *, n: int,
+                          nbits: int, l: int, bgbit: int):
     """Packed-digit rotation (the ``fast_rotation`` path).
 
     Instead of rotating the (2, TB, N) int32 accumulator and decomposing
@@ -107,7 +109,7 @@ def _rotdec_packed_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
     #    P[:, j] is digits_lv(acc[c])[j] + half_bg in [0, 2*half_bg].
     packed = jnp.zeros((acc_ref.shape[1], n), jnp.int32)
     for c in range(2):
-        tmp = acc_ref[c] + jnp.int32(offset)       # wraps mod 2^32
+        tmp = acc_ref[c] + off_ref[0, 0]           # wraps mod 2^32
         for lv in range(l):
             sh = 32 - (lv + 1) * bgbit
             raw = (tmp >> sh) & mask               # biased digit, [0, 2half)
@@ -134,9 +136,20 @@ def _rotdec_packed_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
         out_ref[:, r, :] = d.astype(jnp.int8)
 
 
+def _offset_operand(p: TFHEParams, offset: Array | None) -> Array:
+    """Decomposition offset as a traced (1, 1) int32 SMEM operand; ``None``
+    selects the profile's reference offset (cloudkey/cloudkey.go:60-71)."""
+    if offset is None:
+        off = p.decomposition_offset
+        off = off - (1 << 32) if off >= (1 << 31) else off
+        return jnp.full((1, 1), off, jnp.int32)
+    return jnp.asarray(offset, jnp.int32).reshape(1, 1)
+
+
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("tb",))
 def rotate_decompose_packed(p: TFHEParams, acc: Array, amounts: Array,
-                            tb: int = 128) -> Array:
+                            tb: int = 128,
+                            offset: Array | None = None) -> Array:
     """acc: (2, B, N) uint32 channel-major accumulators;
     amounts: (B,) int32 rotation amounts in [0, 2N].
 
@@ -155,19 +168,19 @@ def rotate_decompose_packed(p: TFHEParams, acc: Array, amounts: Array,
     assert acc.shape == (2, b, n) and b % tb == 0
     nbits = n.bit_length()
     amt = amounts.astype(jnp.int32)[:, None]                  # (B, 1)
-    off = p.decomposition_offset
-    off_i32 = off - (1 << 32) if off >= (1 << 31) else off
     lu = p.l_used
 
     return pl.pallas_call(
         functools.partial(_rotdec_packed_kernel, n=n, nbits=nbits, l=lu,
-                          bgbit=p.bgbit, offset=off_i32),
+                          bgbit=p.bgbit),
         grid=(b // tb,),
         in_specs=[
             pl.BlockSpec((2, tb, n), lambda bt: (0, bt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda bt: (bt, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bt: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tb, 2 * lu, n), lambda bt: (bt, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -176,12 +189,13 @@ def rotate_decompose_packed(p: TFHEParams, acc: Array, amounts: Array,
             dimension_semantics=("arbitrary",),
         ),
         interpret=INTERPRET,
-    )(to_signed(acc), amt)
+    )(to_signed(acc), amt, _offset_operand(p, offset))
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("tb",))
 def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
-                            tb: int = 128) -> Array:
+                            tb: int = 128,
+                            offset: Array | None = None) -> Array:
     """acc: (2, B, N) uint32 channel-major accumulators;
     amounts: (B,) or (bs, B) int32 rotation amounts in [0, 2N].
 
@@ -202,21 +216,19 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
     assert acc.shape == (2, b, n) and b % tb == 0
     nbits = n.bit_length()                 # shifts 1..N cover [0, 2N)
     amt = jnp.moveaxis(amounts.astype(jnp.int32), 0, 1)   # (B, bs)
-    # decomposition offset as a signed int32 (the kernel works in the
-    # int32 bit-domain; wraparound arithmetic is identical)
-    off = p.decomposition_offset
-    off_i32 = off - (1 << 32) if off >= (1 << 31) else off
     lu = p.l_used
 
     out = pl.pallas_call(
         functools.partial(_rotdec_kernel, n=n, nbits=nbits, bs=bs, l=lu,
-                          bgbit=p.bgbit, offset=off_i32),
+                          bgbit=p.bgbit),
         grid=(b // tb,),
         in_specs=[
             pl.BlockSpec((2, tb, n), lambda bt: (0, bt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, bs), lambda bt: (bt, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bt: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tb, bs * 2 * lu, n), lambda bt: (bt, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -225,5 +237,5 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
             dimension_semantics=("arbitrary",),
         ),
         interpret=INTERPRET,
-    )(to_signed(acc), amt)
+    )(to_signed(acc), amt, _offset_operand(p, offset))
     return out
