@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-quick test-slow bench examples entry-check lint
+.PHONY: test test-quick test-slow test-tpu bench examples entry-check lint
 
 test:            ## full test suite (CPU, 8 virtual devices)
 	$(PY) -m pytest tests/ -q
@@ -12,6 +12,10 @@ test-quick:      ## fast tests only
 
 test-slow:       ## long-running tests incl. production parameter sets
 	$(PY) -m pytest tests/ -q -m "slow or production" --override-ini addopts=
+
+test-tpu:        ## production-scale noise-margin tests on a real TPU
+	GO_TFHE_TPU_TEST_PLATFORM=tpu $(PY) -m pytest \
+	  tests/test_noise_margin.py -q --override-ini addopts= -v
 
 bench:           ## headline benchmark (one JSON line)
 	$(PY) bench.py

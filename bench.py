@@ -1,31 +1,34 @@
 """Headline benchmark: gate bootstraps/sec/chip at 128-bit parameters.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...config}.
-Baseline: the Go reference does a single 128-bit gate bootstrap in
-~100-150 ms on a modern CPU core (README.md:131,398) => ~8 bootstraps/sec.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...config,
+utilization and measured noise margin}.  Baseline: the Go reference does a
+single 128-bit gate bootstrap in ~100-150 ms on a modern CPU core
+(README.md:131,398) => ~8 bootstraps/sec.
 
 Headline configuration (every field stated in the JSON):
-* profile "128bit_fast" — crypto parameters identical to the 128-bit
-  profile; the Pallas external product drops the lowest of the 4
-  bootstrapping-key limbs (kernel_limb_drop=1) and uses 2 of the 3
-  decomposition levels (decomp_levels_used=2) — see ops/pallas_extprod.py
-  and params.py for the noise analyses (~2^22.5 phase error against a
-  2^29 margin).
+* profile "128bit_fast" — crypto parameters (lwe_n, N, alphas) identical to
+  the 128-bit profile; the CloudKey uses the TPU-tuned bgbit=8/l=2 gadget
+  and the Pallas external product drops the lowest of the 4
+  bootstrapping-key limbs (kernel_limb_drop=1).  Measured noise margin:
+  see the "noise" block in the JSON (margin math in params.py and
+  tests/test_noise_margin.py; the decision margin is 2^29).
 * UNIFORM binary secret keys — the reference's own distribution
   (key/key.go:25-39) — and per-bit blind rotation.
 * the public ``engine.bootstrap`` entry (not a private core).
 
-Flags: --exact = parity configuration (bit-exact 4-limb kernel, all 3
-levels); --block = block-binary keys + fused block rotation (opt-in key
-distribution, see keys.py caveat; currently slower than per-bit).
+Flags: --exact = parity configuration (the reference's bgbit=6/l=3 gadget,
+bit-exact 4-limb kernel); --block = block-binary keys + fused block
+rotation (opt-in key distribution, see keys.py caveat).
 
 The correctness gate checks a varying NAND truth table over the whole batch
-before any timing: a benchmark of wrong answers is worthless.
+before any timing, and the JSON reports the measured phase-noise margin —
+a benchmark of wrong (or silently marginal) answers is worthless.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 
@@ -33,26 +36,32 @@ import jax
 import numpy as np
 
 import go_tfhe_tpu as tfhe
-from go_tfhe_tpu import engine
+from go_tfhe_tpu import cipher, engine
+from go_tfhe_tpu.utils.backend import enable_compilation_cache
+from go_tfhe_tpu.utils.profiling import bootstrap_utilization
 
 REFERENCE_BOOTSTRAPS_PER_SEC = 8.0   # 1 / 0.125 s (README.md:398 midpoint)
+MARGIN = 2 ** 29
 
 
 def main() -> None:
+    enable_compilation_cache()
     exact = "--exact" in sys.argv
+    block = "--block" in sys.argv
     on_tpu = jax.default_backend() == "tpu"
     batch = 4096 if on_tpu else 64
 
     if exact:
-        p, block = tfhe.P128, False
-    elif "--block" in sys.argv:
-        p, block = tfhe.get_params("128bit_fast"), True
+        p = tfhe.P128
     else:
-        p, block = tfhe.get_params("128bit_fast"), False
+        p = tfhe.get_params("128bit_fast")
 
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    t_key0 = time.perf_counter()
     sk = tfhe.gen_secret_key(k1, p, block_binary=block)
     ck = tfhe.gen_cloud_key(k2, sk, p)
+    jax.block_until_ready(ck.bsk)
+    t_keygen = time.perf_counter() - t_key0
 
     bits_a = np.resize([False, True], batch)
     bits_b = np.resize([False, False, True, True], batch)
@@ -65,13 +74,30 @@ def main() -> None:
     # Warm-up / compile.  NOTE: device completion is forced by a host
     # readback, not block_until_ready (which does not block through the
     # axon tunnel).
+    t_c0 = time.perf_counter()
     out = nand(ct_a, ct_b)
+    dec = np.asarray(tfhe.lwe_decrypt_bool(out, sk.lv0))
+    t_first = time.perf_counter() - t_c0
 
     # Correctness gate over a varying truth table (both output values).
-    dec = np.asarray(tfhe.lwe_decrypt_bool(out, sk.lv0))
     want = ~(bits_a & bits_b)
     assert (dec == want).all(), \
         f"NAND truth table failed: {int((dec != want).sum())}/{batch} wrong"
+
+    # Measured output-phase noise vs the ideal +-1/8 encoding.
+    ideal = (np.where(want, 1 / 8, -1 / 8) * 2 ** 32).astype(np.int64)
+    ph = np.asarray(cipher.lwe_phase(out, sk.lv0)).astype(np.int64)
+    dev = ((ph - ideal + 2 ** 31) % 2 ** 32) - 2 ** 31
+    std = float(dev.std())
+    sigmas = MARGIN / std if std else float("inf")
+    noise = {
+        "phase_std_log2": round(math.log2(std), 2) if std else None,
+        "phase_max_log2": round(math.log2(abs(dev).max() + 1), 2),
+        "margin_log2": 29,
+        "margin_sigmas": round(sigmas, 1),
+        "est_error_per_gate": float(
+            f"{math.erfc(sigmas / math.sqrt(2.0)):.2e}"),
+    }
 
     # Timed steady-state runs; sequential device stream, one readback at end.
     reps = 5 if on_tpu else 2
@@ -90,9 +116,14 @@ def main() -> None:
         "profile": p.name,
         "key_distribution": "block_binary" if block else "uniform_binary",
         "rotation": "block" if block else "per_bit",
+        "gadget": f"bgbit={p.bgbit},l={p.l}",
         "kernel_limbs": 4 - p.kernel_limb_drop,
         "batch": batch,
         "api": "engine.bootstrap",
+        "keygen_s": round(t_keygen, 2),
+        "first_batch_s": round(t_first, 2),
+        "utilization": bootstrap_utilization(p, value),
+        "noise": noise,
     }))
 
 

@@ -124,16 +124,28 @@ def lwe_sub_mul(a, b, multiplier: int):
 # ---------------------------------------------------------------------------
 
 def trlwe_encrypt_torus(rng: Array, mu_torus: Array, alpha: float,
-                        key_u32: Array) -> Array:
+                        key_u32: Array, grid_bits: int = 0) -> Array:
     """mu_torus: (..., N) uint32 -> (..., 2, N) uint32.
 
     a uniform; b = Gaussian(mu) + a * s (negacyclic)  (trlwe/trlwe.go:28-50).
+
+    ``grid_bits`` > 0 produces the ciphertext ON the 2^grid_bits torus
+    subgrid — i.e. an RLWE sample at ciphertext modulus 2^(32-grid_bits)
+    scaled into the top bits (params.TFHEParams.key_grid_bits): the mask is
+    sampled uniformly on the grid (so a*s stays on-grid exactly — binary
+    key, integer convolution) and only the b-side noise is rounded to the
+    grid.  ``mu`` must already lie on the grid.
     """
     mu = jnp.asarray(mu_torus, TORUS)
     k_a, k_e = jax.random.split(rng)
     a = uniform_torus(k_a, mu.shape)
-    b = gaussian_torus(k_e, mu, alpha, mu.shape) + negacyclic_mul_binary(
-        a, key_u32)
+    noisy_mu = gaussian_torus(k_e, mu, alpha, mu.shape)
+    if grid_bits:
+        grid_mask = jnp.uint32(((1 << grid_bits) - 1))
+        a = a & ~grid_mask
+        # round-to-nearest grid multiple (wraps mod 2^32)
+        noisy_mu = (noisy_mu + jnp.uint32(1 << (grid_bits - 1))) & ~grid_mask
+    b = noisy_mu + negacyclic_mul_binary(a, key_u32)
     return jnp.stack([a, b], axis=-2)
 
 
@@ -162,12 +174,15 @@ def trgsw_encrypt_torus(rng: Array, p_torus, alpha: float, key_u32: Array,
     diagonal (trgsw/trgsw.go:32-57).
 
     p_torus: uint32, shape S (typically scalar key bits).
-    Returns (S, 2L, 2, N) uint32.
+    Returns (S, 2L, 2, N) uint32.  Honors ``prm.key_grid_bits`` (the
+    gadget powers 2^(32-(i+1)*BGBIT) lie on the grid because
+    key_grid_bits <= tail_bits, asserted in params).
     """
     p_t = jnp.asarray(p_torus, TORUS)
     shape = p_t.shape
     zeros = jnp.zeros(shape + (2 * prm.l, prm.n), TORUS)
-    ct = trlwe_encrypt_torus(rng, zeros, alpha, key_u32)   # (S, 2L, 2, N)
+    ct = trlwe_encrypt_torus(rng, zeros, alpha, key_u32,
+                             grid_bits=prm.key_grid_bits)  # (S, 2L, 2, N)
     g = jnp.asarray(prm.gadget_powers, TORUS)              # (L,)
     add = p_t[..., None] * g                               # (S, L)
     # rows i < L: A[i][0] += p*g[i];  rows L+i: B[L+i][0] += p*g[i]

@@ -25,7 +25,7 @@ from ..utils.torus import to_signed
 from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
-from .pallas_rotate import rotate_decompose_packed, rotate_decompose_pallas
+from .pallas_rotate import rotate_decompose_pallas
 from .polymul import negacyclic_extprod_toeplitz, split_signed_limbs_i8
 from .rotate import (monomial_mul, monomial_mul_blocks,
                      monomial_mul_blocks_log, monomial_mul_log)
@@ -213,28 +213,9 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
     return digits.reshape(b, nd, rows, n), 128
 
 
-def _dither_offsets(p: TFHEParams) -> Array | None:
-    """Per-step decomposition offsets for the TPU fast path (int32
-    (n_lwe,) or None).  A golden-ratio multiplicative sequence masked to
-    the gadget-tail grid: re-rounds every step differently so the
-    approximate-gadget tails decorrelate across steps instead of adding
-    coherently (see params.TFHEParams.offset_dither for the measured
-    effect)."""
-    if not p.offset_dither:
-        return None
-    tail_bits = 32 - p.l_used * p.bgbit
-    steps = jnp.arange(1, p.lwe_n + 1, dtype=jnp.uint32)
-    u = (steps * jnp.uint32(0x9E3779B9)) & jnp.uint32((1 << tail_bits) - 1)
-    # Center the dither: an offset shift of u moves the REPRESENTED value
-    # by +u (Sum D g = x + u - tail), so u must be zero-mean across steps
-    # or the accumulator drifts by ~n/2 * E[u] systematically.
-    u = u - jnp.uint32(1 << (tail_bits - 1))         # wraps: centered
-    return to_signed(jnp.uint32(p.decomposition_offset) + u)
-
-
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
                      testvec: Array, tb: int = 128) -> Array:
-    """TPU fast path: log-rotation + Pallas bf16 MXU external product.
+    """TPU fast path: log-rotation + Pallas MXU external product.
 
     Same math as :func:`blind_rotate` (bit-exact), but the accumulator lives
     in channel-major (2, B, N) layout to match the Pallas kernel's output
@@ -261,36 +242,18 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
 
     drop = p.kernel_limb_drop if p.digit_limbs == 1 else 0
-    # Packed-digit rotation (rotate_decompose_packed): digit entries are
-    # differences of two digits, |D'| <= 2*half_bg.
-    packed_rot = p.fast_rotation and p.l_used <= 2 and p.bgbit <= 6
-    limb_mag = 2 * p.half_bg if packed_rot else min(p.half_bg, 128)
+    limb_mag = min(p.half_bg, 128)
     # int8 x int8 -> int32 MXU dot: measured ~1.7x the bf16 rate on v5e for
     # this kernel, exact whenever a single contraction fits int32.
     dot = ("int8" if 2 * p.l * p.n * limb_mag * 128 < 1 << 31
            else "bf16")
     fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
-    if fused_rot and p.l_used < p.l:
-        # approximate gadget: keep only the used levels' band rows
-        keep = jnp.asarray([*range(p.l_used),
-                            *range(p.l, p.l + p.l_used)])
-        bsk_band = bsk_band[:, :, keep, :]
-
-    dith = _dither_offsets(p)
 
     def body(i, acc):
         a_i = a_tilda[:, i]
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
-        off_i = (None if dith is None
-                 else lax.dynamic_index_in_dim(dith, i, 0, False))
-        if packed_rot:
-            digits = rotate_decompose_packed(p, acc, a_i, tb=tb,
-                                             offset=off_i)
-            return extprod_pallas(digits, band_i, limb_mag=limb_mag, tb=tb,
-                                  drop_limbs=drop, dot_dtype=dot, acc=acc)
         if fused_rot:
-            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb,
-                                             offset=off_i)
+            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
             return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
                                   drop_limbs=drop, dot_dtype=dot, acc=acc)
         rotated = monomial_mul_log(acc, a_i[None, :])
@@ -321,12 +284,6 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
 
     fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
-    if fused_rot and p.l_used < p.l:
-        # approximate gadget: keep only the used levels' band rows
-        keep = jnp.asarray([*range(p.l_used),
-                            *range(p.l, p.l + p.l_used)])
-        bsk_band = bsk_band[:, :, keep, :]
-        l2 = 2 * p.l_used
 
     # The fused block contraction has bs*2L*N Toeplitz rows — too tall for a
     # bf16 scratch in VMEM, so this path uses the int8 dot (1 byte/entry,
@@ -358,17 +315,11 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         bsk_band[:full * bs].reshape(full, bs, 2, l2, w), 2, 1
     ).reshape(full, 2, bs * l2, w)
 
-    fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
-    dith = _dither_offsets(p)
-
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a_blk, i, 0, False)      # (bs, B)
         band = lax.dynamic_index_in_dim(band_blk, i, 0, False)
-        off_i = (None if dith is None
-                 else lax.dynamic_index_in_dim(dith, i, 0, False))
         if fused_rot:
-            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb,
-                                             offset=off_i)
+            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
             return extprod_pallas(digits, band, limb_mag=p.half_bg, tn=tn,
                                   tb=tb, drop_limbs=drop, dot_dtype="int8",
                                   acc=acc)

@@ -69,54 +69,48 @@ class TFHEParams:
     # LUT size = poly_extend_factor * n (reference: params/UINT_STATUS.md;
     # extended LUTs are advertised for Uint6-8 but unimplemented upstream)
     poly_extend_factor: int = 1
-    # Noise-budget kernel-limb truncation for the Pallas external product
+    # Kernel-limb truncation for the Pallas external product
     # (ops/pallas_extprod.py): drop this many of the 4 bootstrapping-key
-    # limbs, cutting MXU columns proportionally.  0 = bit-exact integer
-    # arithmetic.  1 adds ~2^21.5 phase error over a full 128-bit blind
-    # rotation — 2^7 sigma inside the gate margin (see extprod_pallas
-    # docstring for the analysis); comparable in spirit to the float64 FFT
-    # rounding the reference tolerates.  Crypto parameters are unchanged.
+    # base-256 limbs, cutting MXU columns proportionally.  Requires
+    # ``key_grid_bits >= 8*kernel_limb_drop`` (enforced in __post_init__),
+    # which makes the dropped limbs IDENTICALLY ZERO — the truncation is
+    # bit-exact, not approximate.  (Round 2 shipped a lossy drop; its error
+    # lands on the accumulator's A polynomial, which the phase multiplies
+    # by the ring key — a sqrt(N/2) ~ 23x amplification that put the
+    # headline profile 4 sigma from the decision margin.  Measured-unsound;
+    # removed.)
     kernel_limb_drop: int = 0
-    # Approximate gadget decomposition on the TPU fast path: use only this
-    # many of the L decomposition levels (0 = all).  Standard TFHE
-    # technique (decompositions are already approximate below L*BGBIT
-    # bits); using 2 of the 128-bit profile's 3 levels cuts the contraction
-    # rows by a third and leaves the per-coefficient rounding error at
-    # 2^(32-2*6)/2 = 2^19, which accumulates over ~lwe_n/2 key-bit hits to
-    # std ~2^22.4 — far inside the 2^29 gate margin.  The portable/exact
-    # paths always use all L levels.
-    decomp_levels_used: int = 0
-    # Packed-digit rotation on the TPU fast path (ops/pallas_rotate.py
-    # rotate_decompose_packed): decompose the ACCUMULATOR once, rotate the
-    # four packed digit bytes in one int32 lane (half the VPU rotation
-    # work), and external-multiply D' = X^a.D - D, which by linearity of
-    # the convolution equals the CMUX update  X^a E - E.  Two extra noise
-    # terms vs. decompose-after-subtract, both s_i-scalar-multiplied (the
-    # TRGSW plaintext is the 0/1 LWE key bit, never the ring key):
-    #   * commutation tail  s_i (X^a - 1) eps, |eps| <= 2^(32-l_used*bgbit-1):
-    #     per-step std sqrt(2)*2^17.9, over ~350 active steps ~2^22.9;
-    #   * digit variance doubles (Var(X^a.D - D) = 2 Var(D)), growing the
-    #     BSK-noise and limb-drop terms by sqrt(2) (to ~2^22.1 / ~2^22).
-    # Total bootstrap noise stays ~2^24.6 against the 2^29 gate margin
-    # (mod-switch 2^24.2 still dominates) — > 20 sigma of headroom.
-    # Requires l_used <= 2 and bgbit <= 6 (digit bytes must pack 4-to-an-
-    # int32 with borrow-free biased arithmetic).
-    fast_rotation: bool = False
-    # Per-step offset dithering of the gadget decomposition on the TPU fast
-    # path.  The approximate-gadget tail (decomp_levels_used < L) lives in
-    # the accumulator's LOW bits, which rotate along with the accumulator:
-    # every blind-rotate step re-adds an ALIGNED copy of the same tail
-    # vector, so the tail error grows LINEARLY in the ~n/2 active steps
-    # (measured: the l_used=2 tail costs 2^26.6 of final phase std at the
-    # 128-bit profile — ~18x the sqrt-accumulation prediction).  Adding a
-    # per-step pseudo-random constant u_i (golden-ratio sequence, spanning
-    # the 2^(32-l_used*bgbit) tail grid) to the decomposition offset
-    # re-rounds every step differently, decorrelating the tails and
-    # restoring sqrt(n) accumulation.  Exactness of the represented value
-    # is untouched (the offset only moves WHICH multiple of the gadget
-    # base each digit rounds to); dither=False reproduces the reference
-    # decomposition bit-for-bit.
-    offset_dither: bool = False
+    # Generate all level-1 ring material (BSK rows) on the 2^key_grid_bits
+    # torus subgrid — i.e. run the TRLWE world at ciphertext modulus
+    # q = 2^(32-key_grid_bits), scaled into the top bits of uint32.  This
+    # is standard LWE modulus switching *applied at keygen*: the mask A is
+    # sampled uniformly ON the grid and B computed exactly on-grid (binary
+    # s keeps A*s on-grid), so no post-hoc rounding of A ever happens (that
+    # WOULD add a ring-key-amplified q_A*s phase error).  Security is
+    # preserved: the scaled instance is RLWE mod 2^24 with the same
+    # noise-to-modulus ratio (alpha*2^32/2^8 over 2^24).  The only cost is
+    # rounding the B-side noise to the grid: sigma grows from alpha*2^32
+    # (~86 at 128-bit) to sqrt((alpha*2^32)^2 + (2^8)^2/12) ~ 113,
+    # raising the bootstrap's BSK-noise term to ~2^23.7 — below the
+    # mod-switch floor (~2^24.2).  Why: the MXU kernel contracts K in
+    # base-256 limbs; a 24-bit K needs 3 limbs instead of 4 — 25% fewer
+    # MXU MACs with ZERO truncation error (see kernel_limb_drop).
+    key_grid_bits: int = 0
+    # Use a round-to-nearest (centered) gadget decomposition instead of the
+    # reference's floor form.  The reference offset
+    # (cloudkey/cloudkey.go:60-71) floors to the 2^(32-L*BGBIT) tail grid:
+    # representation error in (-grid, 0], DETERMINISTIC mean -grid/2.
+    # That bias costs real noise: the A-channel bias convolves with the
+    # ring key's coefficient random walk (values up to ~N/2), giving a
+    # per-step phase term of std ~(grid/2)*(N/(2*sqrt(3))) that
+    # sqrt-accumulates over ~n/2 active steps — measured 2^27.4 at the
+    # bgbit=8/l=2 gadget (tools/_exp_gadget2.py), the dominant error by
+    # far.  Centering the offset by -grid/2 makes the error zero-mean
+    # (-grid/2, grid/2], killing the bias walk; the remaining fluctuation
+    # term is sqrt(N/2)-amplified but sqrt-accumulates to ~2^22.9.
+    # Centered decomposition changes ciphertext bits (not just noise), so
+    # the reference-parity profiles keep floor semantics.
+    centered_decomposition: bool = False
 
     # ---- derived quantities -------------------------------------------------
 
@@ -145,15 +139,25 @@ class TFHEParams:
         return self.lv1_alpha
 
     @property
+    def tail_bits(self) -> int:
+        """Bits below the gadget's reach: 32 - L*BGBIT (the decomposition
+        grid is 2^tail_bits)."""
+        return 32 - self.l * self.bgbit
+
+    @property
     def decomposition_offset(self) -> int:
         """Offset added before digit extraction.
 
         offset = sum_i (Bg/2) * 2^(32-(i+1)*BGBIT)  mod 2^32
-        (cloudkey/cloudkey.go:60-71).
+        (cloudkey/cloudkey.go:60-71) — a FLOOR to the 2^tail_bits grid.
+        With ``centered_decomposition`` the offset shifts by -grid/2,
+        making it round-to-nearest (see the field docstring).
         """
         off = 0
         for i in range(self.l):
             off += (self.bg // 2) * (1 << (32 - (i + 1) * self.bgbit))
+        if self.centered_decomposition and self.tail_bits > 0:
+            off -= 1 << (self.tail_bits - 1)
         return off % MOD32
 
     @property
@@ -202,11 +206,6 @@ class TFHEParams:
         return self.block_size > 1
 
     @property
-    def l_used(self) -> int:
-        """Decomposition levels used on the TPU fast path."""
-        return self.decomp_levels_used or self.l
-
-    @property
     def digits_fit_int8(self) -> bool:
         """True when gadget digits lie in [-128, 128) and the int8 MXU
         external-product fast path is exact."""
@@ -232,6 +231,12 @@ class TFHEParams:
         assert self.n == 1 << self.nbit, (self.name, self.n, self.nbit)
         assert self.l * self.bgbit <= 32
         assert self.basebit * self.iks_t < 32
+        # limb truncation must be exact: the dropped limbs must be zero by
+        # key construction (see kernel_limb_drop / key_grid_bits).
+        assert self.key_grid_bits >= 8 * self.kernel_limb_drop, (
+            self.name, self.kernel_limb_drop, self.key_grid_bits)
+        # the gadget must reach every key bit above the grid
+        assert self.key_grid_bits <= self.tail_bits or self.tail_bits == 0
 
 
 # ---------------------------------------------------------------------------
@@ -385,18 +390,38 @@ TEST_EXT3 = TFHEParams(
     message_modulus=12, poly_extend_factor=3,
 )
 
-# Throughput-tuned variants: identical crypto parameters, with the lowest
-# bootstrapping-key limb dropped and 2-of-3 decomposition levels used in
-# the Pallas external product (see TFHEParams.kernel_limb_drop /
-# decomp_levels_used for the noise analyses).  Keys are interchangeable
-# with the base profiles (same shapes/distributions); only the TPU kernel
-# differs.
-P80_FAST = dataclasses.replace(P80, name="80bit_fast", kernel_limb_drop=1,
-                               decomp_levels_used=2)
-P110_FAST = dataclasses.replace(P110, name="110bit_fast", kernel_limb_drop=1,
-                                decomp_levels_used=2)
-P128_FAST = dataclasses.replace(P128, name="128bit_fast", kernel_limb_drop=1,
-                                decomp_levels_used=2)
+# Throughput-tuned variants: identical CRYPTO parameters (lwe_n, N, alphas
+# — so SecretKeys and level-0 ciphertexts are interchangeable with the
+# base profiles; only the CloudKey differs) with three TPU-tuned
+# implementation choices, each an established lattice-crypto technique
+# re-targeted at the MXU's int8 tiling:
+#
+# * GADGET bgbit=8, l=2 instead of the reference's 6/3: contraction rows
+#   2l*N = 4N — 2/3 of the reference gadget's 6N.  The gadget base is an
+#   implementation knob, not a security parameter; the reference's 6/3
+#   keeps float64-FFT products small, while the integer kernel is exact
+#   for any half_bg <= 128.  Larger digits raise the BSK-noise term 4x to
+#   ~2^23.7 — still below the mod-switch floor (~2^24.2).
+# * CENTERED decomposition (see centered_decomposition): kills the floor
+#   bias whose ring-key walk measured 2^27.4 of phase error at this
+#   gadget; the remaining tail fluctuation sqrt-accumulates to ~2^22.9.
+# * KEYGEN MODULUS SWITCH to q = 2^24 (see key_grid_bits): the BSK's low
+#   limb is zero by construction, so kernel_limb_drop=1 removes 25% of
+#   the MXU columns bit-exactly.
+#
+# Noise budget vs the 2^29 boolean margin: mod-switch 2^24.2 + tail 2^22.9
+# + BSK 2^23.7 + KSK 2^23 => total ~2^25.0, >15 sigma, error/gate < 1e-50.
+# Measured end-to-end on TPU: tools/noise_margin.py (committed artifact
+# NOISE_r03.json), enforced by tests/test_noise_margin.py.
+P80_FAST = dataclasses.replace(
+    P80, name="80bit_fast", bgbit=8, l=2, kernel_limb_drop=1,
+    key_grid_bits=8, centered_decomposition=True)
+P110_FAST = dataclasses.replace(
+    P110, name="110bit_fast", bgbit=8, l=2, kernel_limb_drop=1,
+    key_grid_bits=8, centered_decomposition=True)
+P128_FAST = dataclasses.replace(
+    P128, name="128bit_fast", bgbit=8, l=2, kernel_limb_drop=1,
+    key_grid_bits=8, centered_decomposition=True)
 
 PROFILES: Dict[str, TFHEParams] = {
     p.name: p

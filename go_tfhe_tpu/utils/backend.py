@@ -12,6 +12,8 @@ BEFORE the first jax operation — which is what these helpers do.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 from ..params import TFHEParams
@@ -36,6 +38,16 @@ def _tpu_intended() -> bool:
     return first in ("axon", "tpu") or first == ""
 
 
+def _tpu_available() -> bool:
+    """Probe whether the default backend actually is a TPU.  Initializes
+    the backend (freezing the platform list) — only call on paths that are
+    about to run on it anyway."""
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def select_backend(p: TFHEParams, choice: str = "auto") -> str:
     """Pick the platform for a workload at profile ``p``.
 
@@ -45,8 +57,10 @@ def select_backend(p: TFHEParams, choice: str = "auto") -> str:
     host, and examples should terminate promptly on a TPU-attached machine
     (the round-1 judge saw ``simple_gates.py`` exceed 300 s there).
 
-    Returns the selected platform name ("cpu"/"tpu").  Must be called
-    before the first jax operation of the process.
+    Returns the platform actually selected ("cpu"/"tpu"): TPU-leaning
+    branches probe the real backend, so a CPU-only host reports "cpu" even
+    when a TPU was requested.  Must be called before the first jax
+    operation of the process.
     """
     if choice not in ("auto", "cpu", "tpu"):
         raise ValueError(f"backend must be auto/cpu/tpu, got {choice!r}")
@@ -54,8 +68,32 @@ def select_backend(p: TFHEParams, choice: str = "auto") -> str:
         force_cpu()
         return "cpu"
     if choice == "tpu":
-        return "tpu"
+        return "tpu" if _tpu_available() else "cpu"
     if _tpu_intended() and pallas_eligible(p):
-        return "tpu"
+        # force_cpu is impossible after the probe (platforms freeze), but
+        # a False probe means the default backend already IS the CPU.
+        return "tpu" if _tpu_available() else "cpu"
     force_cpu()
     return "cpu"
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    128-bit cloud keygen costs ~126 s of XLA compilation against ~1 s of
+    compute, and the first bootstrap at production shapes compiles for
+    minutes; the persistent cache cuts every process start after the first
+    to seconds.  Called automatically by bench.py, the examples and
+    ``__graft_entry__``; library users opt in explicitly (a library must
+    not write to disk on import).
+
+    Returns the cache directory used.
+    """
+    path = path or os.environ.get(
+        "GO_TFHE_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "go_tfhe_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

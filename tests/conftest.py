@@ -17,7 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# GO_TFHE_TPU_TEST_PLATFORM=tpu keeps the real backend for the
+# production-scale TPU tests (tests/test_noise_margin.py, run via
+# ``make test-tpu``); everything else runs on the virtual CPU mesh.
+if os.environ.get("GO_TFHE_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -197,17 +197,22 @@ def test_blind_rotate_tpu_matches_portable():
 
 
 @pytest.mark.slow
-def test_blind_rotate_fast_path_margins():
-    """The throughput knobs (kernel_limb_drop=1, decomp_levels_used=2) must
-    (a) still decrypt a NAND truth table correctly end-to-end and (b) stay
-    within a small phase distance of the exact path."""
+def test_blind_rotate_fast_path_exact_drop():
+    """The full fast-profile knob set at toy scale: on-grid keys
+    (key_grid_bits=8) make kernel_limb_drop=1 BIT-EXACT — dropping the
+    zero limb changes nothing — and the truth table decrypts."""
     import dataclasses
     from go_tfhe_tpu import cipher, engine
-    p_fast = dataclasses.replace(TEST_PALLAS, name="test_pallas_fast",
-                                 kernel_limb_drop=1, decomp_levels_used=2)
+    p_grid = dataclasses.replace(TEST_PALLAS, name="test_pallas_grid",
+                                 key_grid_bits=8,
+                                 centered_decomposition=True)
+    p_fast = dataclasses.replace(p_grid, name="test_pallas_gridfast",
+                                 kernel_limb_drop=1)
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(9), 4)
-    sk = tfhe.gen_secret_key(k1, TEST_PALLAS)
-    ck_ex = tfhe.gen_cloud_key(k2, sk, TEST_PALLAS)
+    sk = tfhe.gen_secret_key(k1, p_grid)
+    ck_ex = tfhe.gen_cloud_key(k2, sk, p_grid)
+    # on-grid BSK: every coefficient is a multiple of 2^8
+    assert (np.asarray(ck_ex.bsk) % 256 == 0).all()
     ck_fast = dataclasses.replace(ck_ex, params=p_fast)
     bits_a = np.array([False, True] * 4)
     bits_b = np.array([False, False, True, True] * 2)
@@ -221,16 +226,19 @@ def test_blind_rotate_fast_path_margins():
         rot = blind_rotate_tpu(p, ck.bsk_band, prepared, ck.testvec, tb=8)
         return identity_key_switch(p, ck.ksk, sample_extract(rot, 0))
 
-    out_ex = boot(TEST_PALLAS, ck_ex)
+    out_ex = boot(p_grid, ck_ex)
     out_fast = boot(p_fast, ck_fast)
     want = ~(bits_a & bits_b)
     np.testing.assert_array_equal(
         np.asarray(cipher.lwe_decrypt_bool(out_fast, sk.lv0)), want)
-    # phase deviation between fast and exact far below the 2^29 margin
-    ph_ex = np.asarray(cipher.lwe_phase(out_ex, sk.lv0)).astype(np.int64)
-    ph_fast = np.asarray(cipher.lwe_phase(out_fast, sk.lv0)).astype(np.int64)
-    dev = np.abs(((ph_fast - ph_ex) + 2 ** 31) % 2 ** 32 - 2 ** 31)
-    assert dev.max() < 2 ** 26, dev.max()
+    # the dropped limb is identically zero => bit-exact
+    np.testing.assert_array_equal(np.asarray(out_fast), np.asarray(out_ex))
+    # and the portable path agrees bit-exactly too (same centered offset)
+    ref = np.asarray(blind_rotate(p_grid, ck_ex.bsk_kernel, prepared,
+                                  ck_ex.testvec))
+    got = np.asarray(blind_rotate_tpu(p_grid, ck_ex.bsk_band, prepared,
+                                      ck_ex.testvec, tb=8))
+    np.testing.assert_array_equal(got, ref)
 
 
 @pytest.mark.slow
@@ -251,94 +259,41 @@ def test_blind_rotate_block_tpu_matches_portable():
     np.testing.assert_array_equal(got, ref)
 
 
-# Packed-rotation (fast_rotation) toy profile: bgbit=6 so four biased digit
-# bytes pack borrow-free into one int32 lane; l=3 with l_used=2 exercises
-# the approximate-gadget row trim alongside the packed path.
-TEST_PALLAS_FASTROT = TFHEParams(
-    name="test_pallas_fastrot",
+# The TPU-tuned gadget of the production *_fast profiles (bgbit=8, l=2 —
+# see params.P128_FAST) at toy sizes: the complete 2-level decomposition
+# with half_bg=128 digits must ride the same kernel branches bit-exactly.
+TEST_PALLAS_BG8 = TFHEParams(
+    name="test_pallas_bg8",
     lwe_n=8, lwe_alpha=1.0 / (1 << 24),
     n=256, lv1_alpha=1.0 / (1 << 30), nbit=8,
-    bgbit=6, l=3, basebit=4, iks_t=6, block_size=1,
-    kernel_limb_drop=1, decomp_levels_used=2, fast_rotation=True,
+    bgbit=8, l=2, basebit=4, iks_t=6, block_size=1,
 )
 
 
-def _true_monomial_rotate(x, k, n):
-    """Negacyclic rotation with TRUE negation (for digit polynomials):
-    out[i] = (-1)^wraps * x[(i - k) mod n]."""
-    x = np.asarray(x, np.int64)
-    k = int(k) % (2 * n)
-    r, flip = k % n, k >= n
-    i = np.arange(n)
-    src = (i - r) % n
-    out = x[..., src]
-    neg = ((i < r) ^ flip)
-    return np.where(neg, -out, out)
-
-
-def test_rotate_decompose_packed():
-    """The packed-digit kernel == gadget_decompose(acc) followed by a TRUE
-    negacyclic rotation of the digit rows, minus the unrotated digits —
-    bit-exactly, for rotation amounts covering 0, N, 2N and the wrap."""
-    from go_tfhe_tpu.ops.decompose import gadget_decompose
-    from go_tfhe_tpu.ops.pallas_rotate import rotate_decompose_packed
-    p = TEST_PALLAS_FASTROT
-    b = 8
-    acc = jnp.asarray(RNG.integers(
-        0, 2 ** 32, size=(2, b, p.n), dtype=np.uint64).astype(np.uint32))
-    amounts = np.asarray([0, 1, p.n - 1, p.n, p.n + 1, 2 * p.n - 1, 2 * p.n,
-                          137], dtype=np.int32)
-    got = np.asarray(rotate_decompose_packed(p, acc, jnp.asarray(amounts),
-                                             tb=b))
-    # oracle: digits of acc — full-L decomposition (the kernel keeps the
-    # full-L offset, exactly like rotate_decompose_pallas's l_used trim),
-    # truncated to the l_used most-significant levels per channel, rows
-    # [A levels, B levels]; then D' = X^a . D - D with true negation.
-    d_full = np.asarray(gadget_decompose(jnp.moveaxis(acc, 1, 0), p))
-    keep = [*range(p.l_used), *range(p.l, p.l + p.l_used)]
-    d = d_full[:, keep]
-    for i in range(b):
-        ref = np.stack([
-            _true_monomial_rotate(d[i, r], amounts[i], p.n) - d[i, r]
-            for r in range(2 * p.l_used)
-        ])
-        np.testing.assert_array_equal(got[i].astype(np.int64), ref,
-                                      err_msg=f"amount={amounts[i]}")
-
-
 @pytest.mark.slow
-def test_blind_rotate_packed_rotation_margins():
-    """fast_rotation end-to-end: NAND truth table correct and phase within
-    a small distance of the exact (non-fast) path."""
-    import dataclasses
+def test_blind_rotate_tpu_bg8_gadget_matches_portable():
+    """The fast-profile gadget shape (bgbit=8, l=2): Pallas == portable
+    bit-exactly, and a NAND truth table decrypts end-to-end."""
     from go_tfhe_tpu import cipher, engine
     from go_tfhe_tpu.ops.keyswitch import identity_key_switch
     from go_tfhe_tpu.ops.sample_extract import sample_extract
+    p = TEST_PALLAS_BG8
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(21), 4)
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ct = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(8, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
+    ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
+    got = np.asarray(blind_rotate_tpu(p, ck.bsk_band, ct, ck.testvec, tb=8))
+    np.testing.assert_array_equal(got, ref)
 
-    p_fast = TEST_PALLAS_FASTROT
-    p_exact = dataclasses.replace(p_fast, name="test_pallas_fastrot_exact",
-                                  kernel_limb_drop=0, decomp_levels_used=0,
-                                  fast_rotation=False)
-    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(13), 4)
-    sk = tfhe.gen_secret_key(k1, p_exact)
-    ck_ex = tfhe.gen_cloud_key(k2, sk, p_exact)
-    ck_fast = dataclasses.replace(ck_ex, params=p_fast)
     bits_a = np.array([False, True] * 4)
     bits_b = np.array([False, False, True, True] * 2)
-    ct_a = cipher.lwe_encrypt_bool(k3, bits_a, p_fast.lwe_alpha, sk.lv0)
-    ct_b = cipher.lwe_encrypt_bool(k4, bits_b, p_fast.lwe_alpha, sk.lv0)
+    ct_a = cipher.lwe_encrypt_bool(k3, bits_a, p.lwe_alpha, sk.lv0)
+    ct_b = cipher.lwe_encrypt_bool(k4, bits_b, p.lwe_alpha, sk.lv0)
     prepared = engine.prepare_nand(ct_a, ct_b)
-
-    def boot(p, ck):
-        rot = blind_rotate_tpu(p, ck.bsk_band, prepared, ck.testvec, tb=8)
-        return identity_key_switch(p, ck.ksk, sample_extract(rot, 0))
-
-    out_ex = boot(p_exact, ck_ex)
-    out_fast = boot(p_fast, ck_fast)
-    want = ~(bits_a & bits_b)
+    rot = blind_rotate_tpu(p, ck.bsk_band, prepared, ck.testvec, tb=8)
+    out = identity_key_switch(p, ck.ksk, sample_extract(rot, 0))
     np.testing.assert_array_equal(
-        np.asarray(cipher.lwe_decrypt_bool(out_fast, sk.lv0)), want)
-    ph_ex = np.asarray(cipher.lwe_phase(out_ex, sk.lv0)).astype(np.int64)
-    ph_fast = np.asarray(cipher.lwe_phase(out_fast, sk.lv0)).astype(np.int64)
-    dev = np.abs(((ph_fast - ph_ex) + 2 ** 31) % 2 ** 32 - 2 ** 31)
-    assert dev.max() < 2 ** 26, dev.max()
+        np.asarray(cipher.lwe_decrypt_bool(out, sk.lv0)),
+        ~(bits_a & bits_b))
