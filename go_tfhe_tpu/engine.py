@@ -27,8 +27,9 @@ from .utils.torus import f64_to_torus
 
 Array = jax.Array
 
-# Batch tile of the Pallas blind rotate (pallas_extprod.extprod_pallas).
-_TPU_BATCH_TILE = 128
+# Batch granularity of the Pallas blind rotate: tb=128 x sub=2 sub-tiles
+# of the fused step kernel (ops/pallas_step.py).
+_TPU_BATCH_TILE = 256
 
 # Affine-preparation bias constants (evaluator/gates_helper.go, gates/gates.go).
 _T_EIGHTH = int(f64_to_torus(0.125))

@@ -26,6 +26,7 @@ from .decompose import gadget_decompose
 from .extprod import cmux, external_product
 from .pallas_extprod import extprod_pallas
 from .pallas_rotate import rotate_decompose_pallas
+from .pallas_step import fused_rotate_step
 from .polymul import negacyclic_extprod_toeplitz, split_signed_limbs_i8
 from .rotate import (monomial_mul, monomial_mul_blocks,
                      monomial_mul_blocks_log, monomial_mul_log)
@@ -214,21 +215,25 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
 
 
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
-                     testvec: Array, tb: int = 128) -> Array:
-    """TPU fast path: log-rotation + Pallas MXU external product.
+                     testvec: Array, tb: int = 128, sub: int = 2) -> Array:
+    """TPU fast path: fused rotate+decompose+extprod Pallas step.
 
     Same math as :func:`blind_rotate` (bit-exact), but the accumulator lives
     in channel-major (2, B, N) layout to match the Pallas kernel's output
-    tiling, and rotations use the bit-decomposed static-shift form.
+    tiling.  Profiles whose digits fit int8 run the single fused step
+    kernel (ops/pallas_step.py); multi-limb Uint profiles fall back to the
+    two-kernel composition.
 
     bsk_band: (n_lwe, 2, 2L, 2N+tn) int32 limb-packed bands (keys.py).
-    ct:       (B, n_lwe+1) uint32, B a multiple of the kernel batch tile.
+    ct:       (B, n_lwe+1) uint32, B a multiple of tb*sub.
     testvec:  (2, N) or (B, 2, N) uint32.
 
     Returns (B, 2, N) uint32.
     """
     n_lwe = p.lwe_n
     b = ct.shape[0]
+    while sub > 1 and b % (tb * sub):
+        sub //= 2
     shifts = jnp.asarray(
         [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
 
@@ -243,23 +248,24 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
 
     drop = p.kernel_limb_drop if p.digit_limbs == 1 else 0
     limb_mag = min(p.half_bg, 128)
-    # int8 x int8 -> int32 MXU dot: measured ~1.7x the bf16 rate on v5e for
-    # this kernel, exact whenever a single contraction fits int32.
-    dot = ("int8" if 2 * p.l * p.n * limb_mag * 128 < 1 << 31
-           else "bf16")
-    fused_rot = p.digits_fit_int8    # rotate+decompose in one Pallas pass
+    # int8 x int8 -> int32 MXU dot is exact whenever one contraction fits
+    # int32 — true for every boolean profile; the fused kernel requires it.
+    int8_ok = 2 * p.l * p.n * limb_mag * 128 < 1 << 31
+    fused = p.digits_fit_int8 and int8_ok
 
     def body(i, acc):
         a_i = a_tilda[:, i]
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
-        if fused_rot:
+        if fused:
+            return fused_rotate_step(p, acc, a_i, band_i, tb=tb, sub=sub)
+        if p.digits_fit_int8:
             digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
             return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
-                                  drop_limbs=drop, dot_dtype=dot, acc=acc)
+                                  drop_limbs=drop, dot_dtype="bf16", acc=acc)
         rotated = monomial_mul_log(acc, a_i[None, :])
         digits, limb_mag2 = _pallas_digits(p, shifts, rotated - acc)
         return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag2,
-                                    tb=tb, drop_limbs=drop, dot_dtype=dot)
+                                    tb=tb, drop_limbs=drop, dot_dtype="bf16")
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

@@ -114,6 +114,49 @@ def test_pbs_uint5():
     _pbs_sweep(tfhe.UINT5, [0, 9, 17, 31])
 
 
+def _pbs_sweep_small(p, messages):
+    """2-function PBS sweep (smaller batch: the extended profiles carry k
+    accumulator blocks per ciphertext)."""
+    m = p.message_modulus
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    gen = lut.Generator(p)
+    funcs = {"identity": lambda x: x, "complement": lambda x: (m - 1) - x}
+    cts, luts, want = [], [], []
+    for fname, f in funcs.items():
+        for msg in messages:
+            cts.append(cipher.lwe_encrypt_message(
+                jax.random.fold_in(k3, len(cts)), msg, m, p.lwe_alpha,
+                sk.lv0))
+            luts.append(gen.gen_lut(f))
+            want.append(f(msg) % m)
+    out = lut.bootstrap_lut(ck, jnp.stack(cts), jnp.stack(luts))
+    got = np.asarray(cipher.lwe_decrypt_message(out, m, sk.lv0))
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_pbs_uint6_extended():
+    """Uint6 (N=2048, n=1071, polyExtendFactor=2 -> LUT size 4096): the
+    FIRST of the extended profiles the reference advertises but never
+    implemented (params/UINT_STATUS.md:20-31), end-to-end at its real
+    parameters (~15 min on 2-core CPU; ~1 min on TPU)."""
+    _pbs_sweep_small(tfhe.UINT6, [0, 41])
+
+
+def test_pbs_uint7_extended():
+    """Uint7 (N=2048, n=1160, polyExtendFactor=4 -> LUT size 8192)
+    end-to-end (~30 min on 2-core CPU; ~2 min on TPU)."""
+    _pbs_sweep_small(tfhe.UINT7, [0, 99])
+
+
+def test_pbs_uint8_extended():
+    """Uint8 (N=2048, n=1160, polyExtendFactor=9 — NON-power-of-two LUT
+    size 18432, exercising the general mod switch) end-to-end
+    (~45 min on 2-core CPU; ~3 min on TPU)."""
+    _pbs_sweep_small(tfhe.UINT8, [0, 201])
+
+
 def test_uint5_nibble_adder():
     """8-bit addition via 3 Uint5 programmable bootstraps — the reference's
     headline PBS demo at its production profile

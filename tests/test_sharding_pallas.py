@@ -1,0 +1,77 @@
+"""GSPMD x Pallas: the fused blind-rotate kernel under an 8-device mesh.
+
+Round-2 gap (VERDICT weak #7): the Pallas path had never executed under
+sharding, and ``engine._bootstrap`` padded the GLOBAL batch before
+sharding.  ``parallel.mesh.sharded_bootstrap_pallas`` runs the kernel
+per-shard via shard_map with per-shard padding; here it executes on the
+virtual 8-device CPU mesh in interpret mode and must be bit-exact with
+the unsharded Pallas core and with the portable path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from go_tfhe_tpu.ops import pallas_extprod, pallas_rotate, pallas_step
+
+pallas_extprod.INTERPRET = True
+pallas_rotate.INTERPRET = True
+pallas_step.INTERPRET = True
+
+import go_tfhe_tpu as tfhe  # noqa: E402
+from go_tfhe_tpu import cipher, engine  # noqa: E402
+from go_tfhe_tpu.parallel import mesh as meshlib  # noqa: E402
+from go_tfhe_tpu.params import TFHEParams  # noqa: E402
+
+# Pallas-eligible toy profile (N=256 tiles the kernel; lwe_n=8 keeps the
+# interpreted loop short).
+P_PALLAS = TFHEParams(
+    name="test_shard_pallas",
+    lwe_n=8, lwe_alpha=1.0 / (1 << 24),
+    n=256, lv1_alpha=1.0 / (1 << 30), nbit=8,
+    bgbit=8, l=2, basebit=4, iks_t=6, block_size=1,
+)
+
+
+@pytest.fixture(scope="module")
+def pallas_keys():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+    sk = tfhe.gen_secret_key(k1, P_PALLAS)
+    ck = tfhe.gen_cloud_key(k2, sk, P_PALLAS)
+    assert ck.bsk_band is not None
+    return sk, ck
+
+
+@pytest.mark.slow
+def test_sharded_pallas_bootstrap_bit_exact(pallas_keys):
+    sk, ck = pallas_keys
+    p = P_PALLAS
+    mesh = meshlib.make_mesh()
+    assert mesh.devices.size == 8
+
+    bits_a = np.resize([False, True], 16)
+    bits_b = np.resize([False, False, True, True], 16)
+    ka, kb = jax.random.split(jax.random.PRNGKey(3))
+    ct_a = cipher.lwe_encrypt_bool(ka, bits_a, p.lwe_alpha, sk.lv0)
+    ct_b = cipher.lwe_encrypt_bool(kb, bits_b, p.lwe_alpha, sk.lv0)
+    prepared = engine.prepare_nand(ct_a, ct_b)
+
+    # unsharded Pallas core (with its own padding)
+    pad = (-prepared.shape[0]) % engine._TPU_BATCH_TILE
+    padded = jnp.concatenate(
+        [prepared, jnp.zeros((pad, prepared.shape[-1]), prepared.dtype)])
+    ref = np.asarray(engine._bootstrap_core_tpu(
+        p, True, ck.bsk_band, ck.ksk, padded, ck.testvec))[:16]
+
+    out = meshlib.sharded_bootstrap_pallas(mesh, ck, prepared)
+    assert out.sharding.spec[0] == meshlib.BATCH_AXIS
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    # and the portable path agrees (all three paths identical)
+    ref_portable = np.asarray(engine._bootstrap_core(
+        p, True, ck.bsk_kernel, ck.ksk, prepared, ck.testvec))
+    np.testing.assert_array_equal(np.asarray(out), ref_portable)
+
+    dec = np.asarray(cipher.lwe_decrypt_bool(np.asarray(out), sk.lv0))
+    np.testing.assert_array_equal(dec, ~(bits_a & bits_b))

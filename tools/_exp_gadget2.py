@@ -13,6 +13,8 @@ import jax
 import numpy as np
 
 import go_tfhe_tpu as tfhe
+from go_tfhe_tpu.utils.backend import enable_compilation_cache
+enable_compilation_cache()
 from go_tfhe_tpu import cipher, engine
 
 p0 = tfhe.P128
