@@ -50,6 +50,8 @@ def timed(fn, *args, reps=3):
 
 
 def main() -> None:
+    from go_tfhe_tpu.utils.backend import enable_compilation_cache
+    enable_compilation_cache()
     quick = "--quick" in sys.argv
     on_tpu = jax.default_backend() == "tpu"
     p = tfhe.P128 if on_tpu else tfhe.TEST_FAST
@@ -74,10 +76,10 @@ def main() -> None:
     bits = np.resize([False, True], batch)
     dt = timed(lambda: cipher.lwe_encrypt_bool(keys[2], bits, p.lwe_alpha,
                                                sk.lv0))
-    emit(f"encrypt_bool_{p.name}", dt, batch, "us*? (ms/batch)")
+    emit(f"encrypt_bool_{p.name}_per_ct", dt, batch)
     ct = cipher.lwe_encrypt_bool(keys[2], bits, p.lwe_alpha, sk.lv0)
     dt = timed(lambda: cipher.lwe_decrypt_bool(ct, sk.lv0))
-    emit(f"decrypt_bool_{p.name}", dt, batch, "us*? (ms/batch)")
+    emit(f"decrypt_bool_{p.name}_per_ct", dt, batch)
 
     # --- polynomial kernel family (poly/poly_test.go:64-124) ----------------
     rng = np.random.default_rng(0)
@@ -91,6 +93,19 @@ def main() -> None:
     dt = timed(lambda: engine.bootstrap(ck, engine.prepare_and(ct, ct_b)))
     emit(f"gate_bootstrap_{p.name}_batch{batch}", dt)
     emit(f"gate_bootstrap_{p.name}_per_ct", dt, batch)
+
+    if on_tpu:
+        # the throughput profile (TPU gadget + exact limb drop)
+        pf = tfhe.get_params("128bit_fast")
+        skf = tfhe.gen_secret_key(keys[0], pf)
+        ckf = tfhe.gen_cloud_key(keys[1], skf, pf)
+        ctf = cipher.lwe_encrypt_bool(keys[2], bits, pf.lwe_alpha, skf.lv0)
+        ctf_b = cipher.lwe_encrypt_bool(keys[3], ~bits, pf.lwe_alpha,
+                                        skf.lv0)
+        dt = timed(lambda: engine.bootstrap(
+            ckf, engine.prepare_and(ctf, ctf_b)))
+        emit(f"gate_bootstrap_{pf.name}_batch{batch}", dt)
+        emit(f"gate_bootstrap_{pf.name}_per_ct", dt, batch)
 
     # --- key switch share ----------------------------------------------------
     lv1 = jnp.asarray(rng.integers(0, 2 ** 32, size=(batch, p.n + 1),

@@ -11,6 +11,12 @@ CloudKey carries the bootstrapping key in *convolution-kernel form* (the
 analogue of the reference's FFT form, trgsw/trgsw.go:71-82): int8 balanced
 limbs when the profile's gadget digits fit int8 (MXU fast path), int32
 otherwise.
+
+Profile compatibility: SecretKeys and level-0 ciphertexts depend only on
+the crypto parameters (lwe_n, N, alphas) and are interchangeable between a
+base profile and its ``*_fast`` variant; CloudKeys are NOT — the fast
+profiles bake a TPU-tuned gadget (bgbit=8/l=2), a centered decomposition
+offset and an on-grid (q=2^24) BSK into keygen (params.P128_FAST).
 """
 
 from __future__ import annotations

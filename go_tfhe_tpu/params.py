@@ -149,15 +149,17 @@ class TFHEParams:
         """Offset added before digit extraction.
 
         offset = sum_i (Bg/2) * 2^(32-(i+1)*BGBIT)  mod 2^32
-        (cloudkey/cloudkey.go:60-71) — a FLOOR to the 2^tail_bits grid.
-        With ``centered_decomposition`` the offset shifts by -grid/2,
-        making it round-to-nearest (see the field docstring).
+        (cloudkey/cloudkey.go:60-71) — a FLOOR to the 2^tail_bits grid:
+        representation error -((x+offset) mod grid) in (-grid, 0].
+        With ``centered_decomposition`` the offset shifts by +grid/2,
+        making the error (-grid/2, grid/2] — round-to-nearest (numerically
+        verified in tests/test_ops.py::test_centered_decomposition_error).
         """
         off = 0
         for i in range(self.l):
             off += (self.bg // 2) * (1 << (32 - (i + 1) * self.bgbit))
         if self.centered_decomposition and self.tail_bits > 0:
-            off -= 1 << (self.tail_bits - 1)
+            off += 1 << (self.tail_bits - 1)
         return off % MOD32
 
     @property

@@ -211,3 +211,36 @@ def test_blind_rotate_sign(fast_keys):
     phase = np.asarray(cipher.lwe_phase(lv1, sk.lv1)).astype(np.int64)
     signs = np.where(phase < (1 << 31), 1, -1)   # positive torus half = +
     np.testing.assert_array_equal(signs, np.where(bits, 1, -1))
+
+
+def test_centered_decomposition_error():
+    """Representation-error spec of the gadget decomposition: floor form
+    has error -((x+off) mod grid) in (-grid, 0] (mean -grid/2 — the bias
+    whose ring-key walk dominated the bg8/l2 noise, see params.py);
+    centered form has error in (-grid/2, grid/2] with near-zero mean."""
+    import dataclasses
+    import numpy as np
+    from go_tfhe_tpu.ops.decompose import gadget_decompose
+    from go_tfhe_tpu.params import TFHEParams
+
+    base = TFHEParams(name="t_center", lwe_n=4, lwe_alpha=1e-7, n=256,
+                      lv1_alpha=1e-9, nbit=8, bgbit=8, l=2, basebit=2,
+                      iks_t=6, block_size=1)
+    cent = dataclasses.replace(base, name="t_center_c",
+                               centered_decomposition=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 2 ** 32, size=(1, 2, 256),
+                                 dtype=np.uint64).astype(np.uint32))
+    g = 1 << base.tail_bits
+    for p, lo, hi in ((base, -g + 1, 0), (cent, -g // 2 + 1, g // 2)):
+        d = np.asarray(gadget_decompose(x, p), np.int64)  # (1, 2*l, n)
+        rep = np.zeros((1, 2, 256), np.int64)
+        for c in range(2):
+            for lv in range(p.l):
+                rep[:, c] += d[:, c * p.l + lv] << (32 - (lv + 1) * p.bgbit)
+        err = (rep - np.asarray(x, np.int64)) % (1 << 32)
+        err = np.where(err >= 1 << 31, err - (1 << 32), err)
+        assert err.min() >= lo and err.max() <= hi, (p.name, err.min(),
+                                                    err.max())
+        if p.centered_decomposition:
+            assert abs(err.mean()) < g / 8
