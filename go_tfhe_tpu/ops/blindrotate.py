@@ -33,6 +33,14 @@ from .rotate import (monomial_mul, monomial_mul_blocks,
 
 Array = jax.Array
 
+# Use the single fused rotate+decompose+extprod kernel (ops/pallas_step.py)
+# in blind_rotate_tpu instead of the two-kernel composition.  OFF by
+# default: the fused kernel keeps the rotation input resident in VMEM but
+# can only amortize its Toeplitz build over ``sub`` (<= 2) batch sub-tiles,
+# vs the two-kernel extprod's full B/tb; measured on the v5e it is ~3x
+# SLOWER end-to-end (bench.py: 1,898/s fused vs ~6,100/s two-kernel).
+FUSED_STEP = False
+
 
 def mod_switch_2n(x_u32: Array, p: TFHEParams) -> Array:
     """Torus -> [0, 2N] rounding mod-switch; returns int32."""
@@ -251,7 +259,11 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     # int8 x int8 -> int32 MXU dot is exact whenever one contraction fits
     # int32 — true for every boolean profile; the fused kernel requires it.
     int8_ok = 2 * p.l * p.n * limb_mag * 128 < 1 << 31
-    fused = p.digits_fit_int8 and int8_ok
+    fused = FUSED_STEP and p.digits_fit_int8 and int8_ok
+    # int8 x int8 -> int32 MXU dot: measured ~1.7x the bf16 rate on v5e for
+    # this kernel (and no split-K), exact whenever one contraction fits
+    # int32 — true for every boolean profile.
+    dot = "int8" if int8_ok else "bf16"
 
     def body(i, acc):
         a_i = a_tilda[:, i]
@@ -261,11 +273,11 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         if p.digits_fit_int8:
             digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
             return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
-                                  drop_limbs=drop, dot_dtype="bf16", acc=acc)
+                                  drop_limbs=drop, dot_dtype=dot, acc=acc)
         rotated = monomial_mul_log(acc, a_i[None, :])
         digits, limb_mag2 = _pallas_digits(p, shifts, rotated - acc)
         return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag2,
-                                    tb=tb, drop_limbs=drop, dot_dtype="bf16")
+                                    tb=tb, drop_limbs=drop, dot_dtype=dot)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

@@ -1,7 +1,9 @@
-"""Time the blind-rotate sub-kernels at bench shapes (128bit_fast, B=4096).
+"""Time blind-rotate step variants at bench shapes (128bit_fast, B=4096).
 
-Compares the fused single-kernel step (ops/pallas_step.py) against the
-two-kernel composition, and reports the int8-MXU speed-of-light share.
+Per-dispatch latency through the axon tunnel is ~50 ms, so isolated kernel
+timings are meaningless; every variant is timed as a jitted chain of steps
+at two lengths and the per-step cost is the slope (t_long - t_short) /
+(n_long - n_short).  Reports the int8-MXU speed-of-light share per variant.
 """
 import sys
 import time
@@ -10,8 +12,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import go_tfhe_tpu as tfhe
-from go_tfhe_tpu.utils.backend import enable_compilation_cache
+sys.path.insert(0, ".")  # repo root
+
+import go_tfhe_tpu as tfhe  # noqa: E402
+from go_tfhe_tpu.utils.backend import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
@@ -27,54 +31,51 @@ acc = jax.random.randint(key, (2, B, N), 0, 1 << 24, jnp.uint32) * 256
 amt = jax.random.randint(key, (B,), 0, 2 * N, jnp.int32)
 band = jax.random.randint(key, (2, 2 * p.l, 2 * N + 256),
                           -(1 << 22), 1 << 22, jnp.int32) * 256
+drop = p.kernel_limb_drop
+MACS_STEP = B * (2 * p.l * N) * 2 * (4 - drop) * N   # per step, both channels
+SOL_US = MACS_STEP / 394e12 * 1e6                    # v5e int8: 394 TOP/s
 
 
-def timed(name, fn, reps=20):
-    out = fn()
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+def run_chain(step, n, reps=3):
+    @jax.jit
+    def run(a):
+        return jax.lax.fori_loop(0, n, lambda i, x: step(x), a)
+    out = run(acc)
+    _ = np.asarray(out).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn()
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    dt = (time.perf_counter() - t0) / reps
-    print(f"{name:44s} {dt*1e6:9.1f} us", flush=True)
-    return dt
+        out = run(out)
+    _ = np.asarray(out).ravel()[:1]
+    return (time.perf_counter() - t0) / reps
 
 
-drop = p.kernel_limb_drop
-t_rot = timed("rotate_decompose_pallas",
-              lambda: rotate_decompose_pallas(p, acc, amt))
-digits = rotate_decompose_pallas(p, acc, amt)
-t_ext = timed("extprod_pallas int8 fused-acc",
-              lambda: extprod_pallas(digits, band, limb_mag=p.half_bg,
-                                     drop_limbs=drop, dot_dtype="int8",
-                                     acc=acc))
-for sub in (1, 2, 4):
+def slope(name, step, n_lo=8, n_hi=40):
+    t_lo = run_chain(step, n_lo)
+    t_hi = run_chain(step, n_hi)
+    us = (t_hi - t_lo) / (n_hi - n_lo) * 1e6
+    print(f"{name:52s} {us:8.1f} us/step  "
+          f"mfu {SOL_US/us*100:5.1f}%  -> {B/(us*1e-6*p.lwe_n):6.0f} bs/s",
+          flush=True)
+    return us
+
+
+def two_kernel(tn, tb=128, tj=128):
+    def step(a):
+        d = rotate_decompose_pallas(p, a, amt, tb=tb)
+        return extprod_pallas(d, band, limb_mag=p.half_bg, tb=tb, tn=tn,
+                              tj=tj, drop_limbs=drop, dot_dtype="int8",
+                              acc=a)
+    return step
+
+
+print(f"B={B} 128bit_fast: int8 SoL {SOL_US:.1f} us/step "
+      f"({B/(SOL_US*1e-6*p.lwe_n):.0f} bootstraps/s)", flush=True)
+slope("rotate_decompose only (upper bound incl. glue)",
+      lambda a: a ^ rotate_decompose_pallas(p, a, amt)[:, 0, :].astype(
+          jnp.uint32)[None])
+slope("two-kernel tn=256 (r2 default)", two_kernel(256))
+slope("two-kernel tn=512", two_kernel(512))
+for sub in (1, 2):
     if B % (128 * sub) == 0:
-        t_f = timed(f"fused_rotate_step sub={sub}",
-                    lambda s=sub: fused_rotate_step(p, acc, amt, band,
-                                                    sub=s))
-
-# chained steps to include XLA loop glue
-def chain(step, n=10):
-    @jax.jit
-    def run(acc):
-        return jax.lax.fori_loop(0, n, lambda i, a: step(a), acc)
-    return run
-
-t_c2 = timed("chain10 two-kernel",
-             lambda: chain(lambda a: extprod_pallas(
-                 rotate_decompose_pallas(p, a, amt), band,
-                 limb_mag=p.half_bg, drop_limbs=drop, dot_dtype="int8",
-                 acc=a))(acc), reps=5)
-t_cf = timed("chain10 fused sub=2",
-             lambda: chain(lambda a: fused_rotate_step(p, acc, amt, band,
-                                                       sub=2))(acc), reps=5)
-macs = 2 * B * (2 * p.l * N) * (4 - drop) * N
-floor = macs / 197e9 / 1e3  # s at 394 TOP/s = 197 GMAC/ms... (197e9 MAC/ms)
-floor = macs / (197e12)     # v5e int8: 197e12 MAC/s
-print(f"per-step: two-kernel {t_c2/10*1e6:.1f} us, fused {t_cf/10*1e6:.1f} us, "
-      f"int8 SoL {floor*1e6:.1f} us "
-      f"-> fused MFU {floor/(t_cf/10)*100:.0f}%", flush=True)
-print(f"projected bootstraps/s (700 steps): "
-      f"two-kernel {B/(t_c2/10*700):.0f}, fused {B/(t_cf/10*700):.0f}")
+        slope(f"fused sub={sub}",
+              lambda a, s=sub: fused_rotate_step(p, a, amt, band, sub=s))
