@@ -223,7 +223,8 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
 
 
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
-                     testvec: Array, tb: int = 128, sub: int = 2) -> Array:
+                     testvec: Array, tb: int = 128, sub: int = 2,
+                     tn: int = 256) -> Array:
     """TPU fast path: fused rotate+decompose+extprod Pallas step.
 
     Same math as :func:`blind_rotate` (bit-exact), but the accumulator lives
@@ -273,11 +274,13 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         if p.digits_fit_int8:
             digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
             return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
-                                  drop_limbs=drop, dot_dtype=dot, acc=acc)
+                                  tn=tn, drop_limbs=drop, dot_dtype=dot,
+                                  acc=acc)
         rotated = monomial_mul_log(acc, a_i[None, :])
         digits, limb_mag2 = _pallas_digits(p, shifts, rotated - acc)
         return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag2,
-                                    tb=tb, drop_limbs=drop, dot_dtype=dot)
+                                    tb=tb, tn=tn, drop_limbs=drop,
+                                    dot_dtype=dot)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)
