@@ -37,15 +37,22 @@ def emit(metric: str, seconds: float, unit_count: float = 1.0,
     print(json.dumps(RESULTS[-1]), flush=True)
 
 
+def _sync(out) -> None:
+    """Force device completion with a 4-byte host readback
+    (block_until_ready does not block through the axon tunnel; converting
+    the full array would drag megabytes through it)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf.reshape(-1)[:1])
+
+
 def timed(fn, *args, reps=3):
-    """Compile/warm-up once, then steady-state average with host readback
-    (block_until_ready does not block through the axon tunnel)."""
+    """Compile/warm-up once, then steady-state average with host readback."""
     out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    _sync(out)
     t0 = time.perf_counter()
     for _i in range(reps):
         out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 

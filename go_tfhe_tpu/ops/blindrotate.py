@@ -270,7 +270,7 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         a_i = a_tilda[:, i]
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
         if fused:
-            return fused_rotate_step(p, acc, a_i, band_i, tb=tb, sub=sub)
+            return fused_rotate_step(p, acc, a_i, band_i, tb=tb)
         if p.digits_fit_int8:
             digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
             return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,

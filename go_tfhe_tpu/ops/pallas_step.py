@@ -1,30 +1,31 @@
-"""Pallas TPU kernel: one FUSED blind-rotate step.
+"""Pallas TPU kernel: one FUSED, software-pipelined blind-rotate step.
 
 The per-step pipeline (evaluator/evaluator.go:121-130) is
 rotate -> subtract -> gadget-decompose -> external product -> accumulate.
-Round 2 ran it as two kernels (ops/pallas_rotate.py + ops/pallas_extprod.py),
-which serializes the VPU rotation against the MXU contraction and round-trips
-the 16 MB digit tensor through HBM every step.  This kernel does the whole
-step in ONE ``pallas_call``:
+The two-kernel composition (ops/pallas_rotate.py + ops/pallas_extprod.py)
+serializes the VPU rotation (measured ~350 us/step at B=4096) against the
+MXU contraction (~610 us/step, 86% MFU): the rotation is pure dead time
+for the MXU.  This kernel runs the WHOLE step as one ``pallas_call`` with
+a one-tile software pipeline:
 
-* grid (bt2, c, nt, bt_i): batch super-tiles outermost, the ``sub``
-  sub-tiles innermost;
-* at (c==0, nt==0) cells the accumulator sub-tile is log-rotated and
-  decomposed into int8 digits IN VMEM (scratch, never touching HBM);
-* at (bt_i==0) cells the negacyclic Toeplitz tile for (c, nt) is built in
-  VMEM from the packed band via Mosaic's strided roll (see
-  pallas_extprod._extprod_kernel for the window math);
-* every cell contracts digits x Toeplitz on the MXU (int8 x int8 -> int32),
-  recombines the base-256 kernel limbs, adds the accumulator slice and
-  writes the output tile.
+* the full negacyclic Toeplitz operand for BOTH channels — (2L*N, 2ch *
+  kept_limbs * N) int8, ~25 MB at 128-bit shapes — lives in a VMEM
+  scratch, built once per step at cell 0 from the packed band.  This is
+  only possible because v5e VMEM is 128 MB; the default 16 MB Mosaic
+  scoped-vmem limit is lifted via ``vmem_limit_bytes``.  Full residency
+  is what kills the round-2 fused kernel's flaw (Toeplitz rebuilt per
+  batch super-tile, amortized over only 2 sub-tiles: 1,898/s measured).
+* grid cell ``bt`` rotates+decomposes batch tile ``bt`` into a VMEM digit
+  slot (VPU) while contracting tile ``bt-1``'s digits against the
+  resident Toeplitz on the MXU — two INDEPENDENT instruction chains that
+  Mosaic's scheduler can overlap, hiding the rotation behind the matmul.
+* the accumulator add is fused (aliased in/out), so HBM traffic per step
+  is read acc twice + write acc once, all overlapped with compute.
 
-Mosaic's scheduler overlaps the VPU work (rotation, Toeplitz build, limb
-recombination) with the MXU dots of neighbouring cells; HBM traffic per
-step drops from ~240 MB (two-kernel) to ~96 MB (read acc twice + write
-acc), all overlapped with compute.
-
-Digits must fit int8 (half_bg <= 128) and the int8 dot must be exact
-(2L*N*half_bg*128 < 2^31) — both hold for every boolean profile.
+Bit-exact with the two-kernel composition and with the portable
+``blind_rotate`` step (tests/test_pallas_step.py).  Requires digits that
+fit int8 (half_bg <= 128) and an exact int8 dot (2L*N*half_bg*128 < 2^31)
+— both hold for every boolean profile.
 """
 
 from __future__ import annotations
@@ -49,33 +50,56 @@ INTERPRET = False
 
 def _step_kernel(acc_rot_ref, amt_ref, band_ref, acc_add_ref, out_ref,
                  digits_ref, toep_ref, *, n: int, nbits: int, l: int,
-                 bgbit: int, offset: int, tb: int, sub: int, tn: int,
-                 tj: int, lo: int):
-    """One grid cell of the fused step.
+                 bgbit: int, offset: int, tb: int, tj: int, lo: int):
+    """One grid cell of the pipelined step.
 
-    acc_rot_ref: (2, sub*TB, N) int32   — acc super-tile (rotation input)
-    amt_ref:     (sub*TB, 1) int32      — rotation amounts
-    band_ref:    (1, 2L, pad+2N) int32  — limb-packed band for channel c
-    acc_add_ref: (1, sub*TB, TN) uint32 — acc slice for the fused add
-    out_ref:     (1, sub*TB, TN) uint32 — updated acc slice
-    digits_ref:  (sub, TB, 2L*N) int8 scratch — digits per sub-tile
-    toep_ref:    (2L*N, (NUM_LIMBS-lo)*TN) int8 scratch — Toeplitz tile
+    acc_rot_ref: (2, TB, N) int32   — acc tile bt (rotation input)
+    amt_ref:     (TB, 1) int32      — rotation amounts for tile bt
+    band_ref:    (2, 2L, pad+2N) int32 — limb-packed bands, both channels
+    acc_add_ref: (2, TB, N) uint32  — acc tile bt-1 (fused add input)
+    out_ref:     (2, TB, N) uint32  — updated acc tile bt-1
+    digits_ref:  (2, TB, 2L*N) int8 scratch — digit slots (pipeline depth 2)
+    toep_ref:    (2L*N, 2*nl*N) int8 scratch — full Toeplitz, both channels,
+                 column order (channel, limb, n)
     """
-    c = pl.program_id(1)
-    nt = pl.program_id(2)
-    bt_i = pl.program_id(3)
+    bt = pl.program_id(0)
+    nbt = pl.num_programs(0) - 1
     l2 = 2 * l
     nl = NUM_LIMBS - lo
     half_bg = 1 << (bgbit - 1)
     mask = (1 << bgbit) - 1
 
-    @pl.when(jnp.logical_and(c == 0, nt == 0))
+    @pl.when(bt == 0)
+    def _build_toeplitz():
+        # T[(r, jt*tj + j'), (c*nl + lm-lo)*N + nt*tj? ...] — columns laid
+        # out (c, lm, n).  T[(r, j), (c, lm, n')] = limb_lm(D[c, r, N + n'
+        # - j]); the band stores D[m] at column pad + m (pack_bsk_band
+        # PREPENDS pad zeros).  Window per (jt, nt-chunk of tj cols):
+        # following pallas_extprod._build_toeplitz with tn == tj.
+        for c in range(2):
+            for r in range(l2):
+                for jt in range(n // tj):
+                    for nt in range(n // tj):
+                        base = band_ref.shape[-1] - 2 * n - tj + n + \
+                            nt * tj - jt * tj
+                        w = band_ref[c, r, pl.ds(base, 2 * tj)]
+                        wmat = jnp.broadcast_to(w, (tj, 2 * tj))
+                        rolled = pltpu.roll(wmat, shift=tj, axis=1, stride=1,
+                                            stride_axis=0)[:, :tj]
+                        rows = pl.ds((r * (n // tj) + jt) * tj, tj)
+                        for lm in range(lo, NUM_LIMBS):
+                            limb = ((rolled >> (8 * lm)) & 255) - 128
+                            col = (c * nl + lm - lo) * n + nt * tj
+                            toep_ref[rows, pl.ds(col, tj)] = limb.astype(
+                                jnp.int8)
+
+    @pl.when(bt < nbt)
     def _rotate_decompose():
         lane = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
-        rows = pl.ds(bt_i * tb, tb)
-        amt = amt_ref[rows, :]                          # (TB, 1)
+        amt = amt_ref[:, :]                             # (TB, 1)
+        slot = bt % 2
         for ch in range(2):
-            x0 = acc_rot_ref[ch, rows, :]
+            x0 = acc_rot_ref[ch]
             x = x0
             for b in range(nbits):
                 s = 1 << b
@@ -90,48 +114,31 @@ def _step_kernel(acc_rot_ref, amt_ref, band_ref, acc_add_ref, out_ref,
             for lv in range(l):
                 sh = 32 - (lv + 1) * bgbit
                 d = ((tmp >> sh) & mask) - half_bg
-                digits_ref[bt_i, :, pl.ds((ch * l + lv) * n, n)] = (
+                digits_ref[slot, :, pl.ds((ch * l + lv) * n, n)] = (
                     d.astype(jnp.int8))
 
-    @pl.when(bt_i == 0)
-    def _build_toeplitz():
-        # T[(r, jt*tj + j'), (lm-lo)*tn + n'] = limb_lm(D[c, r, n + nt*tn
-        #   + n' - jt*tj - j']); band stores D[m] at column pad + m with
-        #   pad = base0 + tn prepended zeros (pack_bsk_band).
-        base0 = band_ref.shape[-1] - 2 * n - tn
-        for r in range(l2):
-            for jt in range(n // tj):
-                base = base0 + n + nt * tn - jt * tj
-                w = band_ref[0, r, pl.ds(base, 2 * tn)]
-                wmat = jnp.broadcast_to(w, (tj, 2 * tn))
-                rolled = pltpu.roll(wmat, shift=tn, axis=1, stride=1,
-                                    stride_axis=0)[:, :tn]
-                rows = pl.ds((r * (n // tj) + jt) * tj, tj)
-                for lm in range(lo, NUM_LIMBS):
-                    limb = ((rolled >> (8 * lm)) & 255) - 128
-                    toep_ref[rows, pl.ds((lm - lo) * tn, tn)] = limb.astype(
-                        jnp.int8)
-
-    lhs = digits_ref[bt_i]                              # (TB, 2L*N) int8
-    acc = jax.lax.dot_general(
-        lhs, toep_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)               # (TB, nl*TN)
-    out = None
-    for j in range(nl):
-        term = acc[:, j * tn:(j + 1) * tn].astype(jnp.uint32)
-        if j + lo:
-            term = term << jnp.uint32(8 * (j + lo))
-        out = term if out is None else out + term
-    rows = pl.ds(bt_i * tb, tb)
-    out_ref[0, rows, :] = out + acc_add_ref[0, rows, :]
+    @pl.when(bt > 0)
+    def _contract():
+        lhs = digits_ref[(bt + 1) % 2]                  # tile bt-1
+        acc = jax.lax.dot_general(
+            lhs, toep_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)           # (TB, 2*nl*N)
+        for c in range(2):
+            out = None
+            for j in range(nl):
+                term = acc[:, (c * nl + j) * n:(c * nl + j + 1) * n]
+                term = term.astype(jnp.uint32)
+                if j + lo:
+                    term = term << jnp.uint32(8 * (j + lo))
+                out = term if out is None else out + term
+            out_ref[c] = out + acc_add_ref[c]
 
 
 @functools.partial(jax.jit,
                    static_argnums=(0,),
-                   static_argnames=("tb", "sub", "tn", "tj"))
+                   static_argnames=("tb", "tj"))
 def fused_rotate_step(p: TFHEParams, acc: Array, amounts: Array,
-                      band: Array, tb: int = 128, sub: int = 2,
-                      tn: int = 256, tj: int = 128) -> Array:
+                      band: Array, tb: int = 128, tj: int = 128) -> Array:
     """One full blind-rotate step:  acc + BSK_i (x) (X^amounts . acc - acc).
 
     acc:     (2, B, N) uint32 channel-major accumulators.
@@ -147,52 +154,56 @@ def fused_rotate_step(p: TFHEParams, acc: Array, amounts: Array,
     n = acc.shape[-1]
     l2 = 2 * p.l
     lo = p.kernel_limb_drop if p.digit_limbs == 1 else 0
+    nl = NUM_LIMBS - lo
     assert p.half_bg <= 128 and p.digit_limbs == 1
     assert l2 * n * p.half_bg * 128 < 1 << 31     # int8 dot exactness
     assert acc.shape == (2, b, n)
-    assert b % (tb * sub) == 0 and n % tn == 0 and n % tj == 0
+    assert b % tb == 0 and n % tj == 0
     pad = band.shape[-1] - 2 * n
-    assert pad >= tn, (pad, tn)
+    assert pad >= tj, (pad, tj)
     nbits = n.bit_length()
     off = p.decomposition_offset
     off = off - (1 << 32) if off >= (1 << 31) else off
     amt = amounts.astype(jnp.int32)[:, None]            # (B, 1)
+    nbt = b // tb
 
-    grid = (b // (tb * sub), 2, n // tn, sub)
+    vmem_bytes = (l2 * n * 2 * nl * n            # Toeplitz scratch
+                  + 2 * tb * l2 * n              # digit slots
+                  + 6 * 2 * tb * n * 4           # acc in/add/out, x2 buffers
+                  + 2 * band.size * 4) + (8 << 20)
     return pl.pallas_call(
         functools.partial(_step_kernel, n=n, nbits=nbits, l=p.l,
-                          bgbit=p.bgbit, offset=off, tb=tb, sub=sub, tn=tn,
-                          tj=tj, lo=lo),
-        grid=grid,
+                          bgbit=p.bgbit, offset=off, tb=tb, tj=tj, lo=lo),
+        grid=(nbt + 1,),
         in_specs=[
-            # rotation input: whole super-tile, fetched once per bt2
-            pl.BlockSpec((2, sub * tb, n),
-                         lambda bt2, c, nt, bt_i: (0, bt2, 0),
+            pl.BlockSpec((2, tb, n),
+                         lambda bt: (0, jnp.minimum(bt, nbt - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub * tb, 1),
-                         lambda bt2, c, nt, bt_i: (bt2, 0),
+            pl.BlockSpec((tb, 1),
+                         lambda bt: (jnp.minimum(bt, nbt - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l2, band.shape[-1]),
-                         lambda bt2, c, nt, bt_i: (c, 0, 0),
+            pl.BlockSpec((2, l2, band.shape[-1]),
+                         lambda bt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # accumulator slice for the fused add
-            pl.BlockSpec((1, sub * tb, tn),
-                         lambda bt2, c, nt, bt_i: (c, bt2, nt),
+            pl.BlockSpec((2, tb, n),
+                         lambda bt: (0, jnp.maximum(bt - 1, 0), 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, sub * tb, tn),
-                               lambda bt2, c, nt, bt_i: (c, bt2, nt),
+        out_specs=pl.BlockSpec((2, tb, n),
+                               lambda bt: (0, jnp.maximum(bt - 1, 0), 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, b, n), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((sub, tb, l2 * n), jnp.int8),
-            pltpu.VMEM((l2 * n, (NUM_LIMBS - lo) * tn), jnp.int8),
+            pltpu.VMEM((2, tb, l2 * n), jnp.int8),
+            pltpu.VMEM((l2 * n, 2 * nl * n), jnp.int8),
         ],
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * 4,
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_bytes,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * l2 * n * (NUM_LIMBS - lo) * n * 2,
+            flops=2 * b * l2 * n * 2 * nl * n,
             bytes_accessed=acc.size * 4 * 3,
             transcendentals=0,
         ),

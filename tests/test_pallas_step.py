@@ -66,7 +66,7 @@ def test_fused_step_matches_two_kernel(p):
     digits = rotate_decompose_pallas(p, acc, amounts, tb=b)
     want = extprod_pallas(digits, band, limb_mag=p.half_bg, tb=b,
                           drop_limbs=drop, dot_dtype="int8", acc=acc)
-    got = fused_rotate_step(p, acc, amounts, band, tb=2, sub=2)
+    got = fused_rotate_step(p, acc, amounts, band, tb=2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -81,6 +81,6 @@ def test_fused_blind_rotate_matches_portable():
     ct = jnp.asarray(RNG.integers(
         0, 2 ** 32, size=(8, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
     ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
-    got = np.asarray(blind_rotate_tpu(p, ck.bsk_band, ct, ck.testvec, tb=2,
-                                      sub=2))
+    got = np.asarray(blind_rotate_tpu(p, ck.bsk_band, ct, ck.testvec,
+                                      tb=2))
     np.testing.assert_array_equal(got, ref)
