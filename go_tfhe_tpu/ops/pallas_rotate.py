@@ -44,7 +44,10 @@ INTERPRET = False
 def _rotdec_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
                    bs: int, l: int, bgbit: int, offset: int):
     """acc_ref: (2, TB, N) int32;  amt_ref: (TB, bs) int32;
-    out_ref: (TB, bs*2L, N) int8 digits of X^amt . acc - acc.
+    out_ref: (TB, bs*2L*N) int8 digits of X^amt . acc - acc, row-major
+    (row r's digits at columns [r*N, (r+1)*N)).  The FLAT layout matters:
+    writing rows of a (TB, R, N) block puts each level on a single sublane
+    row (4x store inefficiency, measured ~350 us/step vs ~160 flat).
     ``offset``: the profile's decomposition offset as a signed int32
     constant (cloudkey/cloudkey.go:60-71)."""
     half_bg = 1 << (bgbit - 1)
@@ -68,7 +71,8 @@ def _rotdec_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
             for lv in range(l):
                 sh = 32 - (lv + 1) * bgbit
                 d = ((tmp >> sh) & mask) - half_bg
-                out_ref[:, (j * 2 + c) * l + lv, :] = d.astype(jnp.int8)
+                out_ref[:, pl.ds(((j * 2 + c) * l + lv) * n, n)] = (
+                    d.astype(jnp.int8))
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("tb",))
@@ -103,12 +107,12 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
             pl.BlockSpec((tb, bs), lambda bt: (bt, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, bs * 2 * p.l, n), lambda bt: (bt, 0, 0),
+        out_specs=pl.BlockSpec((tb, bs * 2 * p.l * n), lambda bt: (bt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, bs * 2 * p.l, n), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b, bs * 2 * p.l * n), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=INTERPRET,
     )(to_signed(acc), amt)
-    return out
+    return out.reshape(b, bs * 2 * p.l, n)
