@@ -52,27 +52,32 @@ def _rotdec_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
     constant (cloudkey/cloudkey.go:60-71)."""
     half_bg = 1 << (bgbit - 1)
     mask = (1 << bgbit) - 1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (acc_ref.shape[1], n), 1)
+    tb = acc_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (2 * tb, n), 1)
+    # Both channels rotate by the SAME per-ciphertext amount: merge them
+    # into one (2*TB, N) array so every stage is a single roll/select
+    # instead of two (fewer, larger Mosaic ops).
+    x0 = jnp.concatenate([acc_ref[0], acc_ref[1]], axis=0)   # (2*TB, N)
     for j in range(bs):
-        amt = amt_ref[:, j:j + 1]                          # (TB, 1)
-        for c in range(2):
-            x0 = acc_ref[c]
-            x = x0
-            for b in range(nbits):
-                s = 1 << b
-                if s < n:
-                    rolled = pltpu.roll(x, shift=s, axis=1)
-                    rolled = jnp.where(lane < s, ~rolled, rolled)
-                else:                                      # X^N == -1
-                    rolled = ~x
-                bit = (amt >> b) & 1
-                x = jnp.where(bit > 0, rolled, x)
-            tmp = (x - x0) + jnp.int32(offset)             # wraps mod 2^32
-            for lv in range(l):
-                sh = 32 - (lv + 1) * bgbit
-                d = ((tmp >> sh) & mask) - half_bg
+        amt = amt_ref[:, j:j + 1]                            # (TB, 1)
+        amt2 = jnp.concatenate([amt, amt], axis=0)           # (2*TB, 1)
+        x = x0
+        for b in range(nbits):
+            s = 1 << b
+            if s < n:
+                rolled = pltpu.roll(x, shift=s, axis=1)
+                rolled = jnp.where(lane < s, ~rolled, rolled)
+            else:                                          # X^N == -1
+                rolled = ~x
+            bit = (amt2 >> b) & 1
+            x = jnp.where(bit > 0, rolled, x)
+        tmp = (x - x0) + jnp.int32(offset)                 # wraps mod 2^32
+        for lv in range(l):
+            sh = 32 - (lv + 1) * bgbit
+            d = ((tmp >> sh) & mask) - half_bg
+            for c in range(2):
                 out_ref[:, pl.ds(((j * 2 + c) * l + lv) * n, n)] = (
-                    d.astype(jnp.int8))
+                    d[c * tb:(c + 1) * tb].astype(jnp.int8))
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("tb",))
