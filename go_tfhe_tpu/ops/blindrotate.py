@@ -35,10 +35,12 @@ Array = jax.Array
 
 # Use the single fused rotate+decompose+extprod kernel (ops/pallas_step.py)
 # in blind_rotate_tpu instead of the two-kernel composition.  OFF by
-# default: the fused kernel keeps the rotation input resident in VMEM but
-# can only amortize its Toeplitz build over ``sub`` (<= 2) batch sub-tiles,
-# vs the two-kernel extprod's full B/tb; measured on the v5e it is ~3x
-# SLOWER end-to-end (bench.py: 1,898/s fused vs ~6,100/s two-kernel).
+# default — measured on the v5e the fused cell runs the VPU rotation and
+# the MXU contraction SERIALLY (1,124 us/step vs 559+161 for the parts;
+# Mosaic does not overlap the two units within one cell body), so the
+# two-kernel composition is ~40% faster end-to-end.  The kernel remains
+# the measured evidence for that scheduling behavior and the natural
+# restart point if the compiler learns to co-schedule.
 FUSED_STEP = False
 
 

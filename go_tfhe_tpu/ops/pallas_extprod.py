@@ -22,6 +22,13 @@ materialization), so this kernel:
 * amortizes the Toeplitz build across the batch (grid is (c, nt, bt) with bt
   innermost; the tile is rebuilt only when (c, nt) changes).
 
+Negative result (measured, v5e): ping-pong-scratch pipelining of the next
+combo's build under the current combo's dots — a few VPU roll-units per
+cell — REGRESSED the full bootstrap 7,368 -> 6,665/s.  Mosaic serializes
+VPU work against MXU dots in the same cell body (the same effect killed
+the single-kernel fused step, ops/pallas_step.py), so the ~67 us/step
+build is cheapest left synchronous at each combo's first cell.
+
 Digits must satisfy half_bg <= 128 (BGBIT <= 8: the 80/110/128-bit and uint1
 profiles).  The band is padded to TN+2N columns — TN zeros PREPENDED — so
 every 2*TN-wide window slice is in bounds (the pad positions are never
