@@ -28,3 +28,12 @@ examples:        ## run all examples on the small test profiles
 
 entry-check:     ## driver entry points: compile check + multichip dry run
 	$(PY) __graft_entry__.py
+
+bench-micro:     ## per-op micro-benchmarks (keygen/enc/dec/PBS/proxy)
+	$(PY) bench_micro.py
+
+artifacts:       ## refresh NOISE/MICRO/BENCH-variant artifacts (TPU host)
+	bash tools/collect_artifacts.sh
+
+profile:         ## per-kernel split timing of the blind-rotate step (TPU)
+	$(PY) tools/split_timing.py

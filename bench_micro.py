@@ -67,17 +67,25 @@ def main() -> None:
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
 
     # --- keygen family (reference: ~5-10 s at 128-bit, README.md:397) ------
+    # The *_cold numbers are first-ever calls in the process: they include
+    # backend init + XLA compile (or compilation-cache load) and dominate
+    # by orders of magnitude; the plain metrics are steady-state compute,
+    # comparable to the reference's numbers.
     t0 = time.perf_counter()
     sk = tfhe.gen_secret_key(keys[0], p)
     _ = np.asarray(sk.lv0)[:1]
-    emit(f"keygen_secret_{p.name}", time.perf_counter() - t0)
+    emit(f"keygen_secret_{p.name}_cold", time.perf_counter() - t0)
+    emit(f"keygen_secret_{p.name}",
+         timed(lambda: tfhe.gen_secret_key(keys[0], p).lv0))
 
     t0 = time.perf_counter()
     ck = tfhe.gen_cloud_key(keys[1], sk, p)
     _ = np.asarray(ck.bsk)[:1, :1, :1, :1]
     if ck.bsk_band is not None:
         _ = np.asarray(ck.bsk_band)[:1, :1, :1, :1]
-    emit(f"keygen_cloud_{p.name}", time.perf_counter() - t0)
+    emit(f"keygen_cloud_{p.name}_cold", time.perf_counter() - t0)
+    emit(f"keygen_cloud_{p.name}",
+         timed(lambda: tfhe.gen_cloud_key(keys[1], sk, p).bsk_band))
 
     # --- encrypt / decrypt family ------------------------------------------
     bits = np.resize([False, True], batch)
