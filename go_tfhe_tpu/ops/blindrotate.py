@@ -225,7 +225,7 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
 
 
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
-                     testvec: Array, tb: int = 128, sub: int = 2,
+                     testvec: Array, tb: int = 256, sub: int = 2,
                      tn: int = 256) -> Array:
     """TPU fast path: fused rotate+decompose+extprod Pallas step.
 
