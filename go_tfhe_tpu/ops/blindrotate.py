@@ -289,7 +289,7 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
 
 
 def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
-                           testvec: Array, tb: int = 128) -> Array:
+                           testvec: Array, tb: int = 256) -> Array:
     """TPU fast path of :func:`blind_rotate_block`: per sequential step, the
     block's ``block_size`` independent external products fold into ONE Pallas
     contraction with block_size*2L rows — ~block_size x fewer kernel
@@ -316,9 +316,9 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     drop = p.kernel_limb_drop if p.digit_limbs == 1 else 0
     nl = 4 - drop
     tn = 256
-    while tn > 128 and bs * l2 * p.n * nl * tn > 10 << 20:
+    while tn > 128 and bs * l2 * p.n * nl * tn > 24 << 20:
         tn //= 2
-    assert bs * l2 * p.n * nl * tn <= 12 << 20, (
+    assert bs * l2 * p.n * nl * tn <= 28 << 20, (
         f"block-fused Toeplitz scratch does not fit VMEM for {p.name}")
 
     b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p)          # (B,)

@@ -259,6 +259,11 @@ def extprod_pallas(digits_i8: Array, band_i32: Array, limb_mag: int = 128,
             (l2 * n, (NUM_LIMBS - drop_limbs) * tn), scratch_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # v5e has 128 MB physical VMEM; the Mosaic default scoped limit
+            # is 16 MB.  Raising it admits tb=256 blocks next to the block
+            # path's large fused Toeplitz scratch (an upper bound, not an
+            # allocation).
+            vmem_limit_bytes=48 << 20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * l2 * n * 2 * (NUM_LIMBS - drop_limbs) * n * nd,

@@ -117,6 +117,9 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
         out_shape=jax.ShapeDtypeStruct((b, bs * 2 * p.l * n), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # see pallas_extprod: v5e VMEM is 128 MB; the block path's
+            # (TB, bs*2L*N) digit block exceeds the 16 MB Mosaic default.
+            vmem_limit_bytes=48 << 20,
         ),
         interpret=INTERPRET,
     )(to_signed(acc), amt)
