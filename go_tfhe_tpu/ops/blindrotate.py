@@ -273,16 +273,13 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
         band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
         if fused:
             return fused_rotate_step(p, acc, a_i, band_i, tb=tb)
-        if p.digits_fit_int8:
-            digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
-            return extprod_pallas(digits, band_i, limb_mag=p.half_bg, tb=tb,
-                                  tn=tn, drop_limbs=drop, dot_dtype=dot,
-                                  acc=acc)
-        rotated = monomial_mul_log(acc, a_i[None, :])
-        digits, limb_mag2 = _pallas_digits(p, shifts, rotated - acc)
-        return acc + extprod_pallas(digits, band_i, limb_mag=limb_mag2,
-                                    tb=tb, tn=tn, drop_limbs=drop,
-                                    dot_dtype=dot)
+        # rotate_decompose_pallas emits int8 digits for BGBIT <= 8 and
+        # exact base-256 limb planes for the wide Uint gadgets — the
+        # rotation never leaves the Pallas path either way.
+        digits = rotate_decompose_pallas(p, acc, a_i, tb=tb)
+        return extprod_pallas(digits, band_i, limb_mag=min(p.half_bg, 128),
+                              tb=tb, tn=tn, drop_limbs=drop, dot_dtype=dot,
+                              acc=acc)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc, 0, 1)                              # (B, 2, N)

@@ -42,16 +42,20 @@ INTERPRET = False
 
 
 def _rotdec_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
-                   bs: int, l: int, bgbit: int, offset: int):
+                   bs: int, l: int, bgbit: int, offset: int, nd: int):
     """acc_ref: (2, TB, N) int32;  amt_ref: (TB, bs) int32;
-    out_ref: (TB, bs*2L*N) int8 digits of X^amt . acc - acc, row-major
-    (row r's digits at columns [r*N, (r+1)*N)).  The FLAT layout matters:
-    writing rows of a (TB, R, N) block puts each level on a single sublane
-    row (4x store inefficiency, measured ~350 us/step vs ~160 flat).
+    out_ref: (TB, nd*bs*2L*N) int8 digits of X^amt . acc - acc, row-major
+    (limb-major for nd > 1: limb i's rows at columns [i*bs*2L*N, ...)).
+    The FLAT layout matters: writing rows of a (TB, R, N) block puts each
+    level on a single sublane row (4x store inefficiency, measured ~350
+    us/step vs ~160 flat).  Digits wider than int8 (BGBIT > 8, the Uint
+    profiles) are split in-kernel into ``nd`` exact signed base-256 limbs
+    (same arithmetic as polymul.split_signed_limbs_i8).
     ``offset``: the profile's decomposition offset as a signed int32
     constant (cloudkey/cloudkey.go:60-71)."""
     half_bg = 1 << (bgbit - 1)
     mask = (1 << bgbit) - 1
+    rows = bs * 2 * l
     tb = acc_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (2 * tb, n), 1)
     # Both channels rotate by the SAME per-ciphertext amount: merge them
@@ -75,9 +79,20 @@ def _rotdec_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
         for lv in range(l):
             sh = 32 - (lv + 1) * bgbit
             d = ((tmp >> sh) & mask) - half_bg
-            for c in range(2):
-                out_ref[:, pl.ds(((j * 2 + c) * l + lv) * n, n)] = (
-                    d[c * tb:(c + 1) * tb].astype(jnp.int8))
+            for i in range(nd):
+                if nd == 1:
+                    limb, d = d, None
+                else:
+                    # exact signed base-256 split (split_signed_limbs_i8)
+                    if i < nd - 1:
+                        limb = ((d + 128) & 255) - 128
+                        d = (d - limb) >> 8            # arithmetic, exact
+                    else:
+                        limb = d
+                for c in range(2):
+                    col = (i * rows + (j * 2 + c) * l + lv) * n
+                    out_ref[:, pl.ds(col, n)] = (
+                        limb[c * tb:(c + 1) * tb].astype(jnp.int8))
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("tb",))
@@ -86,12 +101,13 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
     """acc: (2, B, N) uint32 channel-major accumulators;
     amounts: (B,) or (bs, B) int32 rotation amounts in [0, 2N].
 
-    Returns (B, bs*2L, N) int8 gadget digits of X^amount . acc - acc,
-    rows ordered [block bit major][A levels, B levels] — the layouts
-    consumed by extprod_pallas in blind_rotate_tpu / blind_rotate_block_tpu.
-    Requires half_bg <= 128 (digits fit int8).
+    Returns int8 gadget digits of X^amount . acc - acc: (B, bs*2L, N)
+    when the digits fit int8 (half_bg <= 128), else (B, nd, bs*2L, N)
+    exact signed base-256 limb planes (nd = p.digit_limbs) — the layouts
+    consumed by extprod_pallas in blind_rotate_tpu / blind_rotate_block_tpu
+    (rows ordered [block bit major][A levels, B levels]).
     """
-    assert p.half_bg <= 128
+    nd = p.digit_limbs
     if amounts.ndim == 1:
         amounts = amounts[None]
     bs, b = amounts.shape
@@ -104,7 +120,7 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
 
     out = pl.pallas_call(
         functools.partial(_rotdec_kernel, n=n, nbits=nbits, bs=bs, l=p.l,
-                          bgbit=p.bgbit, offset=off),
+                          bgbit=p.bgbit, offset=off, nd=nd),
         grid=(b // tb,),
         in_specs=[
             pl.BlockSpec((2, tb, n), lambda bt: (0, bt, 0),
@@ -112,9 +128,11 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
             pl.BlockSpec((tb, bs), lambda bt: (bt, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, bs * 2 * p.l * n), lambda bt: (bt, 0),
+        out_specs=pl.BlockSpec((tb, nd * bs * 2 * p.l * n),
+                               lambda bt: (bt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, bs * 2 * p.l * n), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b, nd * bs * 2 * p.l * n),
+                                       jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # see pallas_extprod: v5e VMEM is 128 MB; the block path's
@@ -123,4 +141,6 @@ def rotate_decompose_pallas(p: TFHEParams, acc: Array, amounts: Array,
         ),
         interpret=INTERPRET,
     )(to_signed(acc), amt)
-    return out.reshape(b, bs * 2 * p.l, n)
+    if nd == 1:
+        return out.reshape(b, bs * 2 * p.l, n)
+    return out.reshape(b, nd, bs * 2 * p.l, n)

@@ -297,3 +297,36 @@ def test_blind_rotate_tpu_bg8_gadget_matches_portable():
     np.testing.assert_array_equal(
         np.asarray(cipher.lwe_decrypt_bool(out, sk.lv0)),
         ~(bits_a & bits_b))
+
+
+def test_rotate_decompose_multi_limb_matches_oracle():
+    """nd>1 (wide Uint gadgets): the in-kernel base-256 limb split must
+    equal rotate -> gadget_decompose -> split_signed_limbs_i8 bit-exactly,
+    and blind_rotate_tpu must stay bit-exact with the portable path."""
+    import dataclasses
+
+    from go_tfhe_tpu.ops.blindrotate import _pallas_digits
+    from go_tfhe_tpu.ops.pallas_rotate import rotate_decompose_pallas
+    from go_tfhe_tpu.ops.rotate import monomial_mul
+    p = TFHEParams(
+        name="test_pallas_uint",
+        lwe_n=4, lwe_alpha=1.0 / (1 << 24),
+        n=256, lv1_alpha=1.0 / (1 << 30), nbit=8,
+        bgbit=18, l=1, basebit=4, iks_t=3, block_size=1,
+        message_modulus=4)
+    assert p.digit_limbs == 3
+    b = 8
+    acc = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(2, b, p.n), dtype=np.uint64).astype(np.uint32))
+    amounts = jnp.asarray(RNG.integers(0, 2 * p.n + 1, size=(b,),
+                                       dtype=np.int64).astype(np.int32))
+    got = rotate_decompose_pallas(p, acc, amounts, tb=b)
+    assert got.shape == (b, 3, 2 * p.l, p.n)
+    shifts = jnp.asarray([32 - (i + 1) * p.bgbit for i in range(p.l)],
+                         dtype=jnp.uint32)
+    rotated = monomial_mul(
+        jnp.moveaxis(acc, 1, 0), amounts[:, None])      # (B, 2, N)
+    diff = jnp.moveaxis(rotated, 0, 1) - acc            # (2, B, N)
+    want, limb_mag = _pallas_digits(p, shifts, diff)
+    assert limb_mag == 128
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
