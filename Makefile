@@ -4,11 +4,11 @@ PY ?= python
 
 .PHONY: test test-quick test-slow test-tpu bench examples entry-check lint
 
-test:            ## full test suite (CPU, 8 virtual devices)
+test:            ## default tier (CPU, 8 virtual devices; excludes slow+production)
 	$(PY) -m pytest tests/ -q
 
-test-quick:      ## fast tests only
-	$(PY) -m pytest tests/ -q -m "not slow"
+test-quick:      ## alias of the default tier
+	$(PY) -m pytest tests/ -q
 
 test-slow:       ## long-running tests incl. production parameter sets
 	$(PY) -m pytest tests/ -q -m "slow or production" --override-ini addopts=
@@ -37,3 +37,11 @@ artifacts:       ## refresh NOISE/MICRO/BENCH-variant artifacts (TPU host)
 
 profile:         ## per-kernel split timing of the blind-rotate step (TPU)
 	$(PY) tools/split_timing.py
+
+warm:            ## pre-populate the persistent XLA compilation cache for the
+	         ## production profiles (first-ever compile of the 700-step loop
+	         ## takes minutes; afterwards every process start is seconds)
+	$(PY) tools/warm_cache.py
+
+security:        ## regenerate the SECURITY.md estimate table
+	$(PY) tools/security_estimate.py

@@ -33,6 +33,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import go_tfhe_tpu as tfhe
@@ -42,6 +43,10 @@ from go_tfhe_tpu.utils.profiling import bootstrap_utilization
 
 REFERENCE_BOOTSTRAPS_PER_SEC = 8.0   # 1 / 0.125 s (README.md:398 midpoint)
 MARGIN = 2 ** 29
+# Phase-margin floor for the self-guard: 8 sigma ~= 1e-15 error/gate.  Every
+# shipped profile measures >= 11.8 sigma (NOISE_r03.json); anything below 8
+# means a knob broke the noise budget and the bench must fail, not report.
+MIN_SIGMAS = 8.0
 
 
 def main() -> None:
@@ -63,6 +68,21 @@ def main() -> None:
     jax.block_until_ready(ck.bsk)
     t_keygen = time.perf_counter() - t_key0
 
+    if "--selftest-guard" in sys.argv:
+        # Forced-bad-knob dry run of the self-guard: wipe the low two limb
+        # bytes of every packed BSK-band coefficient (the byte-packed layout
+        # of pack_bsk_band) and round the portable kernel to the 2^16 grid.
+        # That injects ~2^16-per-coefficient key error — orders of magnitude
+        # past the noise budget — so the run MUST exit 1 with value null.
+        import dataclasses as _dc
+        grid = jnp.uint32(0xFFFF0000)
+        ck = _dc.replace(
+            ck,
+            bsk_kernel=jnp.bitwise_and(
+                ck.bsk_kernel.view(jnp.uint32), grid).view(jnp.int32),
+            bsk_band=None if ck.bsk_band is None else jnp.bitwise_and(
+                ck.bsk_band.view(jnp.uint32), grid).view(jnp.int32))
+
     bits_a = np.resize([False, True], batch)
     bits_b = np.resize([False, False, True, True], batch)
     ct_a = tfhe.lwe_encrypt_bool(k3, bits_a, p.lwe_alpha, sk.lv0)
@@ -81,8 +101,7 @@ def main() -> None:
 
     # Correctness gate over a varying truth table (both output values).
     want = ~(bits_a & bits_b)
-    assert (dec == want).all(), \
-        f"NAND truth table failed: {int((dec != want).sum())}/{batch} wrong"
+    wrong = int((dec != want).sum())
 
     # Measured output-phase noise vs the ideal +-1/8 encoding.
     ideal = (np.where(want, 1 / 8, -1 / 8) * 2 ** 32).astype(np.int64)
@@ -98,6 +117,24 @@ def main() -> None:
         "est_error_per_gate": float(
             f"{math.erfc(sigmas / math.sqrt(2.0)):.2e}"),
     }
+
+    # Self-guarding gate (round-2 offset_dither lesson): a perf knob that
+    # ships wrong answers or a marginal phase distribution must fail the
+    # bench loudly, not report a throughput number.  Floor: every answer
+    # right AND measured margin >= MIN_SIGMAS (dry-run of the failure path:
+    # `python bench.py --selftest-guard`).
+    if wrong or sigmas < MIN_SIGMAS:
+        print(json.dumps({
+            "metric": "gate_bootstraps_per_sec_per_chip_128bit",
+            "value": None,
+            "unit": "bootstraps/s",
+            "error": (f"{wrong}/{batch} truth-table mismatches" if wrong else
+                      f"noise margin {sigmas:.1f} sigma below the "
+                      f"{MIN_SIGMAS} sigma floor"),
+            "profile": p.name,
+            "noise": noise,
+        }))
+        sys.exit(1)
 
     # Timed steady-state runs; sequential device stream, one readback at end.
     reps = 5 if on_tpu else 2

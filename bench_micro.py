@@ -41,8 +41,10 @@ def _sync(out) -> None:
     """Force device completion with a 4-byte host readback
     (block_until_ready does not block through the axon tunnel; converting
     the full array would drag megabytes through it)."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf.reshape(-1)[:1])
+    leaves = jax.tree_util.tree_leaves(out)
+    if not leaves:         # e.g. bsk_band is None off-TPU
+        return
+    _ = np.asarray(leaves[0].reshape(-1)[:1])
 
 
 def timed(fn, *args, reps=3):
@@ -83,9 +85,13 @@ def main() -> None:
     _ = np.asarray(ck.bsk)[:1, :1, :1, :1]
     if ck.bsk_band is not None:
         _ = np.asarray(ck.bsk_band)[:1, :1, :1, :1]
-    emit(f"keygen_cloud_{p.name}_cold", time.perf_counter() - t0)
-    emit(f"keygen_cloud_{p.name}",
-         timed(lambda: tfhe.gen_cloud_key(keys[1], sk, p).bsk_band))
+    cold = time.perf_counter() - t0
+    emit(f"keygen_cloud_{p.name}_cold", cold)
+    steady = timed(lambda: tfhe.gen_cloud_key(keys[1], sk, p).bsk_band)
+    emit(f"keygen_cloud_{p.name}", steady)
+    # compile-vs-compute split: the cold call is compile (or compilation-
+    # cache load) + one compute; steady-state is pure compute.
+    emit(f"keygen_cloud_{p.name}_compile_overhead", cold - steady)
 
     # --- encrypt / decrypt family ------------------------------------------
     bits = np.resize([False, True], batch)
@@ -105,9 +111,28 @@ def main() -> None:
 
     # --- gate bootstrap (the headline lives in bench.py; here per-gate) ----
     ct_b = cipher.lwe_encrypt_bool(keys[3], ~bits, p.lwe_alpha, sk.lv0)
+    t0 = time.perf_counter()
+    _sync(engine.bootstrap(ck, engine.prepare_and(ct, ct_b)))
+    first_batch = time.perf_counter() - t0
     dt = timed(lambda: engine.bootstrap(ck, engine.prepare_and(ct, ct_b)))
+    emit(f"gate_bootstrap_{p.name}_first_batch", first_batch)
+    emit(f"gate_bootstrap_{p.name}_compile_overhead", first_batch - dt)
     emit(f"gate_bootstrap_{p.name}_batch{batch}", dt)
     emit(f"gate_bootstrap_{p.name}_per_ct", dt, batch)
+
+    # --- single-gate latency (the reference's headline metric: ~100-150 ms
+    # per gate at 128-bit, README.md:131,398).  Throughput comes from the
+    # batch axis; these rows quantify the sequential-chain cost a batch-1
+    # caller pays (the TPU path pads 1 -> _TPU_BATCH_TILE internally, so
+    # batch 1 and batch 128 share one compiled shape).
+    for lat_b in (1, 128):
+        bits_l = np.resize([False, True], lat_b)
+        ct_l = cipher.lwe_encrypt_bool(keys[2], bits_l, p.lwe_alpha, sk.lv0)
+        ct_lb = cipher.lwe_encrypt_bool(keys[3], ~bits_l, p.lwe_alpha,
+                                        sk.lv0)
+        dt = timed(lambda: engine.bootstrap(
+            ck, engine.prepare_and(ct_l, ct_lb)))
+        emit(f"gate_latency_{p.name}_batch{lat_b}", dt)
 
     if on_tpu:
         # the throughput profile (TPU gadget + exact limb drop)
@@ -167,6 +192,10 @@ def main() -> None:
     dt = timed(lambda: proxyreenc.gen_reencryption_key_symmetric(
         jax.random.PRNGKey(12), alice.lv0, bob.lv0, pp).table)
     emit(f"proxy_reenc_keygen_sym_{pp.name}", dt)
+    # Asymmetric re-encryption keygen (reference: ~4.4 s, CHANGELOG.md:27).
+    dt = timed(lambda: proxyreenc.gen_reencryption_key_asymmetric(
+        jax.random.PRNGKey(14), alice.lv0, pk_bob, pp).table)
+    emit(f"proxy_reenc_keygen_asym_{pp.name}", dt)
     rk = proxyreenc.gen_reencryption_key_symmetric(
         jax.random.PRNGKey(12), alice.lv0, bob.lv0, pp)
     cta = cipher.lwe_encrypt_bool(jax.random.PRNGKey(13), bits, pp.lwe_alpha,

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .keys import CloudKey
 from .ops.blindrotate import (blind_rotate, blind_rotate_block,
                               blind_rotate_block_tpu, blind_rotate_extended,
-                              blind_rotate_tpu)
+                              blind_rotate_extended_tpu, blind_rotate_tpu)
 from .ops.keyswitch import identity_key_switch
 from .ops.sample_extract import sample_extract
 from .params import TFHEParams
@@ -38,10 +38,10 @@ _T_QUARTER = int(f64_to_torus(0.25))
 
 
 def _use_tpu_path(p: TFHEParams) -> bool:
-    """The Pallas fast path covers every non-extended profile whose N tiles
-    the kernel (multi-limb digits handle BGBIT > 8, see blind_rotate_tpu)."""
-    return (jax.default_backend() == "tpu" and p.n % 256 == 0
-            and p.poly_extend_factor == 1)
+    """The Pallas fast path covers every profile whose N tiles the kernel:
+    multi-limb digits handle BGBIT > 8 (blind_rotate_tpu) and extended
+    LUTs run the fused big-accumulator kernel (blind_rotate_extended_tpu)."""
+    return jax.default_backend() == "tpu" and p.n % 256 == 0
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -58,6 +58,16 @@ def _bootstrap_core_ext(p: TFHEParams, key_switch: bool, bsk_kernel: Array,
     """Extended-LUT bootstrap (LookUpTableSize = polyExtendFactor * N) —
     the Uint6-8 capability the reference never implemented."""
     rotated = blind_rotate_extended(p, bsk_kernel, ct, lut_blocks)
+    lv1 = sample_extract(rotated[..., 0, :, :], 0)   # big-poly coeff 0
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_ext_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
+                            ksk: Array, ct: Array, lut_blocks: Array) -> Array:
+    """Extended-LUT bootstrap, Pallas fast path (ops/pallas_ext.py);
+    ct (B, n+1) with B a multiple of the batch tile."""
+    rotated = blind_rotate_extended_tpu(p, bsk_band, ct, lut_blocks)
     lv1 = sample_extract(rotated[..., 0, :, :], 0)   # big-poly coeff 0
     return identity_key_switch(p, ksk, lv1) if key_switch else lv1
 
@@ -94,14 +104,19 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
                key_switch: bool) -> Array:
     p = ck.params
     tv = ck.testvec if testvec is None else testvec
-    if p.poly_extend_factor > 1:
-        return _bootstrap_core_ext(p, key_switch, ck.bsk_kernel, ck.ksk, ct,
-                                   tv)
+    ext = p.poly_extend_factor > 1
+    # tv is (2, N) shared / (..., 2, N) per-ct for plain profiles,
+    # (k, 2, N) / (..., k, 2, N) for extended ones.
+    tv_shared_ndim = 3 if ext else 2
+    tpu = _use_tpu_path(p) and ck.bsk_band is not None
     # Block blind rotation needs a block-binary lv0 key (keys.py); the
     # Pallas block kernel additionally needs int8 digits to fit its
     # scratch within VMEM — other profiles use the per-bit paths.
-    block = ck.block_binary and p.block_size > 1
-    if not (_use_tpu_path(p) and ck.bsk_band is not None):
+    block = ck.block_binary and p.block_size > 1 and not ext
+    if not tpu:
+        if ext:
+            return _bootstrap_core_ext(p, key_switch, ck.bsk_kernel, ck.ksk,
+                                       ct, tv)
         core = _bootstrap_core_block if block else _bootstrap_core
         return core(p, key_switch, ck.bsk_kernel, ck.ksk, ct, tv)
 
@@ -110,18 +125,23 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
     b = 1
     for d in lead:
         b *= d
+    tv_shape = tv.shape[-tv_shared_ndim:]
     ct2 = ct.reshape((b, ct.shape[-1]))
-    if tv.ndim > 2:
-        tv = tv.reshape((b, 2, p.n))
+    if tv.ndim > tv_shared_ndim:
+        tv = tv.reshape((b,) + tv_shape)
     pad = (-b) % _TPU_BATCH_TILE
     if pad:
         ct2 = jnp.concatenate(
             [ct2, jnp.zeros((pad, ct.shape[-1]), ct.dtype)], axis=0)
-        if tv.ndim > 2:
+        if tv.ndim > tv_shared_ndim:
             tv = jnp.concatenate(
-                [tv, jnp.zeros((pad, 2, p.n), tv.dtype)], axis=0)
-    tpu_core = (_bootstrap_core_block_tpu if block and p.digit_limbs == 1
-                else _bootstrap_core_tpu)
+                [tv, jnp.zeros((pad,) + tv_shape, tv.dtype)], axis=0)
+    if ext:
+        tpu_core = _bootstrap_core_ext_tpu
+    elif block and p.digit_limbs == 1:
+        tpu_core = _bootstrap_core_block_tpu
+    else:
+        tpu_core = _bootstrap_core_tpu
     out = tpu_core(p, key_switch, ck.bsk_band, ck.ksk, ct2, tv)
     if pad:
         out = out[:b]

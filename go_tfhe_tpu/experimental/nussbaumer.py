@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.torus import to_signed, to_unsigned
-from .polymul import ext_band_from_trgsw, toeplitz_from_band
+from ..ops.polymul import ext_band_from_trgsw, toeplitz_from_band
 
 Array = jax.Array
 

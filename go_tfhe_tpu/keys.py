@@ -93,10 +93,13 @@ def gen_secret_key(rng: Array, p: TFHEParams,
 
     SECURITY CAVEAT for ``block_binary=True``: a block-binary key has
     log2(block_size+1)/block_size entropy bits per key bit (< 1), so a
-    profile's nominal security level does NOT automatically carry over;
-    block-binary distributions require their own LWE hardness estimate
-    (cf. the sparse/fixed-weight LWE literature).  The reference never
-    samples such keys — this is an explicit, documented deviation.
+    profile's nominal security level does NOT automatically carry over.
+    Measured estimate (primal uSVP + guess-and-reduce,
+    tools/security_estimate.py, table in SECURITY.md): at the 128-bit
+    profile the cost drops from 107.2 classical core-SVP bits (uniform)
+    to 105.1 at block_size=3 (the shipped BlockSize) and 97.6 at
+    block_size=8.  The reference never samples such keys — this is an
+    explicit, documented, quantified deviation.
     """
     k0, k1 = jax.random.split(rng)
     if block_binary and p.block_size <= 1:
@@ -150,8 +153,10 @@ def prepare_bootstrap_kernels(bsk: Array, p: TFHEParams) -> Array:
 
 
 def _maybe_band(bsk: Array, p: TFHEParams) -> Optional[Array]:
-    """Limb-packed bands for the Pallas TPU blind rotate (pallas_extprod)."""
-    if p.n % 256 == 0 and p.poly_extend_factor == 1:
+    """Limb-packed bands for the Pallas TPU blind rotate (pallas_extprod).
+    Extended profiles (poly_extend_factor > 1) use the same band — the
+    block-wise CMUX contracts every block against it (pallas_ext.py)."""
+    if p.n % 256 == 0:
         return pack_bsk_band(bsk)
     return None
 

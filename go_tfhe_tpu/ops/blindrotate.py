@@ -24,6 +24,7 @@ from ..params import TFHEParams
 from ..utils.torus import to_signed
 from .decompose import gadget_decompose
 from .extprod import cmux, external_product
+from .pallas_ext import rotate_decompose_ext_pallas
 from .pallas_extprod import extprod_pallas
 from .pallas_rotate import rotate_decompose_pallas
 from .pallas_step import fused_rotate_step
@@ -144,6 +145,59 @@ def blind_rotate_extended(p: TFHEParams, bsk_bands: Array, ct: Array,
     return lax.fori_loop(0, n_lwe, body, acc)
 
 
+def blind_rotate_extended_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
+                              lut_blocks: Array, tb: int | None = None,
+                              tn: int = 256) -> Array:
+    """TPU fast path of :func:`blind_rotate_extended` (bit-exact with it):
+    per step, one fused Pallas rotation+decomposition of the interleaved
+    big accumulator (ops/pallas_ext.py) feeds the Pallas external-product
+    kernel with the k blocks folded into the batch axis (the block-wise
+    CMUX contracts every block against the SAME TRGSW band).
+
+    bsk_band:   (n_lwe, 2, 2L, 2N+tn) int32 limb-packed bands (keys.py).
+    ct:         (B, n_lwe+1) uint32, B a multiple of 128.
+    lut_blocks: (k, 2, N) or (B, k, 2, N) uint32 trivial TRLWE blocks.
+
+    Returns (B, k, 2, N) uint32 (same contract as blind_rotate_extended).
+    """
+    n_lwe, k, n = p.lwe_n, p.poly_extend_factor, p.n
+    big_mod = 2 * k * n
+    b = ct.shape[0]
+    nd = p.digit_limbs
+    limb_mag = min(p.half_bg, 128)
+    drop = p.kernel_limb_drop if nd == 1 else 0
+    # int8 x int8 -> int32 dot is exact whenever one contraction fits int32
+    # — true for all shipped extended profiles (l=1 at Uint6-8).
+    dot = "int8" if 2 * p.l * n * limb_mag * 128 < 1 << 31 else "bf16"
+    l2 = 2 * p.l
+
+    tbe = 256                       # extprod batch tile over the B*k axis
+    while tbe > 8 and (b * k) % tbe:
+        tbe //= 2
+
+    b_tilda = big_mod - mod_switch_general(ct[:, n_lwe], big_mod)    # (B,)
+    acc0 = monomial_mul_blocks_log(
+        jnp.broadcast_to(lut_blocks, (b, k, 2, n)), b_tilda, k)
+    # kernel layout: (2, B, k*N) channel-major, block r in columns [rN, ..)
+    acc = jnp.moveaxis(acc0, -2, 0).reshape(2, b, k * n)
+
+    a_tilda = mod_switch_general(ct[:, :n_lwe], big_mod)         # (B, n_lwe)
+
+    def body(i, acc):
+        a_i = a_tilda[:, i]
+        band_i = lax.dynamic_index_in_dim(bsk_band, i, 0, False)
+        digits = rotate_decompose_ext_pallas(p, acc, a_i, tb=tb)
+        digits = digits.reshape(b * k, nd, l2, n)        # blocks -> batch
+        acc_flat = acc.reshape(2, b * k, n)
+        out = extprod_pallas(digits, band_i, limb_mag=limb_mag, tn=tn,
+                             tb=tbe, drop_limbs=drop, dot_dtype=dot,
+                             acc=acc_flat)
+        return out.reshape(2, b, k * n)
+
+    acc = lax.fori_loop(0, n_lwe, body, acc)
+    return jnp.moveaxis(acc.reshape(2, b, k, n), 0, -2)      # (B, k, 2, N)
+
+
 def blind_rotate_block(p: TFHEParams, bsk_bands: Array, ct: Array,
                        testvec: Array) -> Array:
     """Block blind rotation (portable path) — requires a block-binary lv0 key.
@@ -225,26 +279,28 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
 
 
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
-                     testvec: Array, tb: int = 256, sub: int = 2,
+                     testvec: Array, tb: int = 256,
                      tn: int = 256) -> Array:
-    """TPU fast path: fused rotate+decompose+extprod Pallas step.
+    """TPU fast path: per-step Pallas rotate+decompose kernel feeding the
+    Pallas external-product kernel (the two-kernel composition — the fused
+    single-kernel step, ops/pallas_step.py, is the measured-slower opt-in
+    behind ``FUSED_STEP``; Mosaic serializes its VPU and MXU work).
 
     Same math as :func:`blind_rotate` (bit-exact), but the accumulator lives
     in channel-major (2, B, N) layout to match the Pallas kernel's output
-    tiling.  Profiles whose digits fit int8 run the single fused step
-    kernel (ops/pallas_step.py); multi-limb Uint profiles fall back to the
-    two-kernel composition.
+    tiling.  ``tb`` auto-shrinks (128 minimum) until it divides B; B must be
+    a multiple of 128 (engine.bootstrap pads to ``_TPU_BATCH_TILE``).
 
     bsk_band: (n_lwe, 2, 2L, 2N+tn) int32 limb-packed bands (keys.py).
-    ct:       (B, n_lwe+1) uint32, B a multiple of tb*sub.
+    ct:       (B, n_lwe+1) uint32, B a multiple of 128.
     testvec:  (2, N) or (B, 2, N) uint32.
 
     Returns (B, 2, N) uint32.
     """
     n_lwe = p.lwe_n
     b = ct.shape[0]
-    while sub > 1 and b % (tb * sub):
-        sub //= 2
+    while tb > 128 and b % tb:
+        tb //= 2
     shifts = jnp.asarray(
         [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
 
@@ -293,13 +349,17 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     launches / sequential dependencies than :func:`blind_rotate_tpu`.
 
     bsk_band: (n_lwe, 2, 2L, 2N+tn) int32 limb-packed bands (keys.py).
-    ct:       (B, n_lwe+1) uint32;  testvec: (2, N) or (B, 2, N).
+    ct:       (B, n_lwe+1) uint32, B a multiple of 128 (``tb`` auto-shrinks
+              to divide B; engine.bootstrap pads to ``_TPU_BATCH_TILE``).
+    testvec:  (2, N) or (B, 2, N).
     Returns (B, 2, N) uint32.  Requires a block-binary lv0 key.
     """
     n_lwe, bs = p.lwe_n, p.block_size
     full, rem = divmod(n_lwe, bs)
     l2 = 2 * p.l
     b = ct.shape[0]
+    while tb > 128 and b % tb:
+        tb //= 2
     shifts = jnp.asarray(
         [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
 

@@ -88,7 +88,11 @@ class TFHEParams:
     # s keeps A*s on-grid), so no post-hoc rounding of A ever happens (that
     # WOULD add a ring-key-amplified q_A*s phase error).  Security is
     # preserved: the scaled instance is RLWE mod 2^24 with the same
-    # noise-to-modulus ratio (alpha*2^32/2^8 over 2^24).  The only cost is
+    # noise-to-modulus ratio (alpha*2^32/2^8 over 2^24) — quantified in
+    # SECURITY.md (primal uSVP, tools/security_estimate.py): beta 336 vs
+    # the base profile's 329, i.e. ~+2 classical bits from the extra
+    # grid-rounding noise, and no algebraic shortcut (~37% of coefficients
+    # keep nonzero rounded noise).  The only cost is
     # rounding the B-side noise to the grid: sigma grows from alpha*2^32
     # (~86 at 128-bit) to sqrt((alpha*2^32)^2 + (2^8)^2/12) ~ 113,
     # raising the bootstrap's BSK-noise term to ~2^23.7 — below the

@@ -55,7 +55,6 @@ def test_ripple_carry_batched(fast_keys):
         assert got == x + y, (x, y, got)
 
 
-@pytest.mark.slow
 def test_add8_pbs_nibble():
     """8-bit addition in 3 programmable bootstraps
     (examples/add_two_numbers/main.go:98-136)."""

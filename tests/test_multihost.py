@@ -79,7 +79,6 @@ print(f"proc{pid} ok", flush=True)
 """
 
 
-@pytest.mark.slow
 def test_two_process_cluster(tmp_path):
     with socket.socket() as s:                       # pick a free port
         s.bind(("localhost", 0))

@@ -8,7 +8,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from go_tfhe_tpu.ops.nussbaumer import (extprod_nuss_ref, forward,
+# The Nussbaumer transform is a measured-negative experimental artifact
+# (go_tfhe_tpu.experimental); its bit-exactness suite is expensive in
+# interpret mode, so it runs with the slow tier only.
+pytestmark = pytest.mark.slow
+
+from go_tfhe_tpu.experimental.nussbaumer import (extprod_nuss_ref, forward,
                                         inverse_unnormalized,
                                         negacyclic_mul_nuss_ref, nuss_shape)
 from go_tfhe_tpu.ops.polymul import (ext_band_from_trgsw,

@@ -178,7 +178,6 @@ def test_rotate_decompose_fused():
         np.testing.assert_array_equal(got, ref, err_msg=f"bs={bs}")
 
 
-@pytest.mark.slow
 def test_blind_rotate_tpu_matches_portable():
     """End-to-end: the Pallas blind rotate must equal the portable one
     bit-exactly (both are exact integer paths) on a Pallas-eligible
@@ -196,7 +195,6 @@ def test_blind_rotate_tpu_matches_portable():
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.slow
 def test_blind_rotate_fast_path_exact_drop():
     """The full fast-profile knob set at toy scale: on-grid keys
     (key_grid_bits=8) make kernel_limb_drop=1 BIT-EXACT — dropping the
@@ -241,7 +239,6 @@ def test_blind_rotate_fast_path_exact_drop():
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.slow
 def test_blind_rotate_block_tpu_matches_portable():
     """Block-fused Pallas blind rotate (incl. ragged tail) == portable
     block path, bit-exactly."""
@@ -270,7 +267,6 @@ TEST_PALLAS_BG8 = TFHEParams(
 )
 
 
-@pytest.mark.slow
 def test_blind_rotate_tpu_bg8_gadget_matches_portable():
     """The fast-profile gadget shape (bgbit=8, l=2): Pallas == portable
     bit-exactly, and a NAND truth table decrypts end-to-end."""

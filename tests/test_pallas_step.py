@@ -47,7 +47,13 @@ def _rand(shape, lo, hi, dtype):
                                     dtype=np.int64).astype(dtype))
 
 
-@pytest.mark.parametrize("p", CASES, ids=lambda p: p.name)
+# The fused step kernel is the measured-off opt-in (blindrotate.FUSED_STEP);
+# the base config guards it in the default tier, the variant gadgets run in
+# the slow tier (they are the heaviest interpret-mode cases in the suite).
+@pytest.mark.parametrize(
+    "p", [c if c.name == "test_step" else
+          pytest.param(c, marks=pytest.mark.slow) for c in CASES],
+    ids=lambda p: p.name)
 def test_fused_step_matches_two_kernel(p):
     b = 8
     acc = jnp.asarray(RNG.integers(

@@ -43,7 +43,6 @@ def pallas_keys():
     return sk, ck
 
 
-@pytest.mark.slow
 def test_sharded_pallas_bootstrap_bit_exact(pallas_keys):
     sk, ck = pallas_keys
     p = P_PALLAS
