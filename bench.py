@@ -55,6 +55,9 @@ def main() -> None:
     block = "--block" in sys.argv
     on_tpu = jax.default_backend() == "tpu"
     batch = 4096 if on_tpu else 64
+    for i, a in enumerate(sys.argv):
+        if a == "--batch":
+            batch = int(sys.argv[i + 1])
 
     if exact:
         p = tfhe.P128

@@ -27,8 +27,8 @@ from .utils.torus import f64_to_torus
 
 Array = jax.Array
 
-# Batch granularity of the Pallas blind rotate: tb=128 x sub=2 sub-tiles
-# of the fused step kernel (ops/pallas_step.py).
+# Batch granularity of the Pallas blind rotate (the kernels' default
+# batch tile; blind_rotate_*_tpu auto-shrink tb for smaller batches).
 _TPU_BATCH_TILE = 256
 
 # Affine-preparation bias constants (evaluator/gates_helper.go, gates/gates.go).

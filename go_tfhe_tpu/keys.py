@@ -157,7 +157,8 @@ def _maybe_band(bsk: Array, p: TFHEParams) -> Optional[Array]:
     Extended profiles (poly_extend_factor > 1) use the same band — the
     block-wise CMUX contracts every block against it (pallas_ext.py)."""
     if p.n % 256 == 0:
-        return pack_bsk_band(bsk)
+        # pad 1024 admits any column tile tn <= 1024 (extprod in-bounds rule)
+        return pack_bsk_band(bsk, tn=1024)
     return None
 
 

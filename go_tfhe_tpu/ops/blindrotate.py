@@ -147,7 +147,7 @@ def blind_rotate_extended(p: TFHEParams, bsk_bands: Array, ct: Array,
 
 def blind_rotate_extended_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
                               lut_blocks: Array, tb: int | None = None,
-                              tn: int = 256) -> Array:
+                              tn: int = 1024) -> Array:
     """TPU fast path of :func:`blind_rotate_extended` (bit-exact with it):
     per step, one fused Pallas rotation+decomposition of the interleaved
     big accumulator (ops/pallas_ext.py) feeds the Pallas external-product
@@ -174,6 +174,12 @@ def blind_rotate_extended_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     tbe = 256                       # extprod batch tile over the B*k axis
     while tbe > 8 and (b * k) % tbe:
         tbe //= 2
+    tn = min(tn, n)                    # column tile cannot exceed the row
+    while n % tn:
+        tn //= 2
+    nl_eff = 4 - drop                  # VMEM-budget the Toeplitz scratch
+    while tn > 256 and 2 * p.l * n * nl_eff * tn > 14 << 20:
+        tn //= 2
 
     b_tilda = big_mod - mod_switch_general(ct[:, n_lwe], big_mod)    # (B,)
     acc0 = monomial_mul_blocks_log(
@@ -280,7 +286,7 @@ def _pallas_digits(p: TFHEParams, shifts: Array, diff: Array):
 
 def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
                      testvec: Array, tb: int = 256,
-                     tn: int = 256) -> Array:
+                     tn: int = 1024) -> Array:
     """TPU fast path: per-step Pallas rotate+decompose kernel feeding the
     Pallas external-product kernel (the two-kernel composition — the fused
     single-kernel step, ops/pallas_step.py, is the measured-slower opt-in
@@ -301,6 +307,17 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     b = ct.shape[0]
     while tb > 128 and b % tb:
         tb //= 2
+    tn = min(tn, p.n)                  # column tile cannot exceed the row
+    while p.n % tn:
+        tn //= 2
+    # Wide column tiles cut the digit-block HBM re-reads (one read per
+    # (channel, nt) combo), worth +7% at the fast profile — but the
+    # (2L*N, nl*tn) Toeplitz scratch must stay comfortably inside VMEM or
+    # Mosaic's schedule collapses (measured: the 4-limb l=3 profile drops
+    # 4,311 -> 3,206/s at tn=1024 where the scratch is 25 MB).  Budget it.
+    nl_eff = 4 - (p.kernel_limb_drop if p.digit_limbs == 1 else 0)
+    while tn > 256 and 2 * p.l * p.n * nl_eff * tn > 14 << 20:
+        tn //= 2
     shifts = jnp.asarray(
         [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
 
@@ -372,7 +389,7 @@ def blind_rotate_block_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     # double-buffered digit blocks; Mosaic needs tn >= 128.
     drop = p.kernel_limb_drop if p.digit_limbs == 1 else 0
     nl = 4 - drop
-    tn = 256
+    tn = min(1024, p.n)                # column tile cannot exceed the row
     while tn > 128 and bs * l2 * p.n * nl * tn > 24 << 20:
         tn //= 2
     assert bs * l2 * p.n * nl * tn <= 28 << 20, (

@@ -429,11 +429,31 @@ P128_FAST = dataclasses.replace(
     P128, name="128bit_fast", bgbit=8, l=2, kernel_limb_drop=1,
     key_grid_bits=8, centered_decomposition=True)
 
+# Centered-decomposition variants of the extended Uint profiles.  At
+# BGBIT=22/l=1 the reference's floor offset leaves a DETERMINISTIC
+# -2^9/2-per-coefficient representation bias whose ring-key random walk
+# accumulates to ~2^23.3 of phase error over ~1100 steps — right at the
+# Uint6 half-segment tolerance (2^24), measured as ~1.8% wrong PBS
+# outputs at batch 2048 (EXT_r04.json, `uint6` row).  The reference never
+# ran these profiles (params/UINT_STATUS.md), so the marginality is
+# inherited, not introduced.  Centering the offset (same mechanism as the
+# `*_fast` boolean profiles) makes the representation error zero-mean;
+# the dominant remaining term is the 2kN mod switch (~2^21.7), restoring
+# a ~5 sigma margin.  Same crypto parameters; ciphertext bits differ from
+# reference-parity floor semantics.
+UINT6_CENTERED = dataclasses.replace(
+    UINT6, name="uint6_centered", centered_decomposition=True)
+UINT7_CENTERED = dataclasses.replace(
+    UINT7, name="uint7_centered", centered_decomposition=True)
+UINT8_CENTERED = dataclasses.replace(
+    UINT8, name="uint8_centered", centered_decomposition=True)
+
 PROFILES: Dict[str, TFHEParams] = {
     p.name: p
     for p in (P80, P110, P128, P80_FAST, P110_FAST, P128_FAST,
               UINT1, UINT2, UINT3, UINT4, UINT5, UINT6,
-              UINT7, UINT8, TEST_FAST, TEST_BLOCK, TEST_PBS, TEST_NIBBLE,
+              UINT7, UINT8, UINT6_CENTERED, UINT7_CENTERED, UINT8_CENTERED,
+              TEST_FAST, TEST_BLOCK, TEST_PBS, TEST_NIBBLE,
               TEST_EXT2, TEST_EXT3)
 }
 

@@ -72,8 +72,10 @@ def test_rotate_decompose_ext_matches_portable(p):
     np.testing.assert_array_equal(got, ref_d)
 
 
-@pytest.mark.parametrize("p", [tfhe.TEST_EXT2, TEST_EXT_WIDE],
-                         ids=lambda p: p.name)
+@pytest.mark.parametrize(
+    "p", [tfhe.TEST_EXT2,
+          pytest.param(TEST_EXT_WIDE, marks=pytest.mark.slow)],
+    ids=lambda p: p.name)
 def test_blind_rotate_extended_tpu_matches_portable(p):
     """End-to-end: Pallas extended blind rotate == portable extended blind
     rotate bit-exactly (both are exact integer paths)."""
