@@ -318,8 +318,6 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
     nl_eff = 4 - (p.kernel_limb_drop if p.digit_limbs == 1 else 0)
     while tn > 256 and 2 * p.l * p.n * nl_eff * tn > 14 << 20:
         tn //= 2
-    shifts = jnp.asarray(
-        [32 - (i + 1) * p.bgbit for i in range(p.l)], dtype=jnp.uint32)
 
     b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p)          # (B,)
     if testvec.ndim == 2:
