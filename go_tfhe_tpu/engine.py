@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from .keys import CloudKey
 from .ops.blindrotate import (blind_rotate, blind_rotate_block,
                               blind_rotate_block_tpu, blind_rotate_extended,
-                              blind_rotate_extended_tpu, blind_rotate_tpu)
+                              blind_rotate_extended_tpu, blind_rotate_t,
+                              blind_rotate_tpu)
 from .ops.keyswitch import identity_key_switch
 from .ops.sample_extract import sample_extract
 from .params import TFHEParams
@@ -75,8 +76,18 @@ def _bootstrap_core_ext_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _bootstrap_core_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
                         ksk: Array, ct: Array, testvec: Array) -> Array:
-    """Pallas fast path; ct (B, n+1) with B a multiple of the batch tile."""
+    """Pallas fast path (row-major); ct (B, n+1), B a batch-tile multiple."""
     rotated = blind_rotate_tpu(p, bsk_band, ct, testvec)
+    lv1 = sample_extract(rotated, 0)
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_t(p: TFHEParams, key_switch: bool, bsk_band_rev: Array,
+                      ksk: Array, ct: Array, testvec: Array) -> Array:
+    """Pallas fast path, TRANSPOSED layout (ops/pallas_t.py) — the default
+    for single-limb-digit profiles; bit-exact with _bootstrap_core_tpu."""
+    rotated = blind_rotate_t(p, bsk_band_rev, ct, testvec)
     lv1 = sample_extract(rotated, 0)
     return identity_key_switch(p, ksk, lv1) if key_switch else lv1
 
@@ -137,12 +148,16 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
             tv = jnp.concatenate(
                 [tv, jnp.zeros((pad,) + tv_shape, tv.dtype)], axis=0)
     if ext:
-        tpu_core = _bootstrap_core_ext_tpu
+        tpu_core, bsk_op = _bootstrap_core_ext_tpu, ck.bsk_band
     elif block and p.digit_limbs == 1:
-        tpu_core = _bootstrap_core_block_tpu
+        tpu_core, bsk_op = _bootstrap_core_block_tpu, ck.bsk_band
+    elif ck.bsk_band_rev is not None:
+        # transposed per-bit path: the fastest measured layout for
+        # single-limb-digit profiles (ops/pallas_t.py)
+        tpu_core, bsk_op = _bootstrap_core_t, ck.bsk_band_rev
     else:
-        tpu_core = _bootstrap_core_tpu
-    out = tpu_core(p, key_switch, ck.bsk_band, ck.ksk, ct2, tv)
+        tpu_core, bsk_op = _bootstrap_core_tpu, ck.bsk_band
+    out = tpu_core(p, key_switch, bsk_op, ck.ksk, ct2, tv)
     if pad:
         out = out[:b]
     return out.reshape(lead + out.shape[1:])

@@ -32,6 +32,7 @@ import numpy as np
 from . import cipher
 from .params import TFHEParams, get_params
 from .ops.pallas_extprod import pack_bsk_band
+from .ops.pallas_t import pack_bsk_band_rev
 from .ops.polymul import ext_band_from_trgsw
 from .utils.rng import binary_key, block_binary_key
 from .utils.torus import TORUS, f64_to_torus
@@ -68,8 +69,11 @@ class CloudKey:
     bsk_kernel: Array   # portable form: (lwe_n, 2L, 2, 2N) int32 signed
     #                     D bands for the Toeplitz-einsum external product
     bsk_band: Optional[Array]  # (lwe_n, 2, 2L, 2N+tn) int32 limb-packed bands
-    #                            for the Pallas TPU path; None when digits
-    #                            don't fit int8
+    #                            for the row-major Pallas TPU paths (block,
+    #                            extended, multi-limb digits)
+    bsk_band_rev: Optional[Array]  # (lwe_n, 2, 2L, 2N+pad) int32 REVERSED
+    #                            bands for the TRANSPOSED per-bit path
+    #                            (ops/pallas_t.py); single-limb digits only
     params: TFHEParams = dataclasses.field(metadata=dict(static=True))
     # The underlying lv0 key is block-binary, so the engine may use block
     # blind rotation (params.block_size bits per sequential step).
@@ -153,12 +157,21 @@ def prepare_bootstrap_kernels(bsk: Array, p: TFHEParams) -> Array:
 
 
 def _maybe_band(bsk: Array, p: TFHEParams) -> Optional[Array]:
-    """Limb-packed bands for the Pallas TPU blind rotate (pallas_extprod).
-    Extended profiles (poly_extend_factor > 1) use the same band — the
-    block-wise CMUX contracts every block against it (pallas_ext.py)."""
+    """Limb-packed bands for the row-major Pallas blind rotate
+    (pallas_extprod).  Extended profiles (poly_extend_factor > 1) use the
+    same band — the block-wise CMUX contracts every block against it
+    (pallas_ext.py)."""
     if p.n % 256 == 0:
         # pad 1024 admits any column tile tn <= 1024 (extprod in-bounds rule)
         return pack_bsk_band(bsk, tn=1024)
+    return None
+
+
+def _maybe_band_rev(bsk: Array, p: TFHEParams) -> Optional[Array]:
+    """Reversed bands for the transposed per-bit path (ops/pallas_t.py)
+    — the fastest measured layout for single-limb-digit profiles."""
+    if p.n % 256 == 0 and p.digit_limbs == 1 and p.poly_extend_factor == 1:
+        return pack_bsk_band_rev(bsk, pad=1024)
     return None
 
 
@@ -172,6 +185,7 @@ def gen_cloud_key(rng: Array, sk: SecretKey, p: TFHEParams) -> CloudKey:
         bsk=bsk,
         bsk_kernel=prepare_bootstrap_kernels(bsk, p),
         bsk_band=_maybe_band(bsk, p),
+        bsk_band_rev=_maybe_band_rev(bsk, p),
         params=p,
         block_binary=sk.block_binary,
     )
@@ -186,6 +200,7 @@ def gen_cloud_key_no_ksk(p: TFHEParams) -> CloudKey:
         bsk=bsk,
         bsk_kernel=prepare_bootstrap_kernels(bsk, p),
         bsk_band=_maybe_band(bsk, p),
+        bsk_band_rev=_maybe_band_rev(bsk, p),
         params=p,
     )
 
@@ -226,6 +241,7 @@ def load_cloud_key(path: str) -> CloudKey:
         bsk=bsk,
         bsk_kernel=prepare_bootstrap_kernels(bsk, p),
         bsk_band=_maybe_band(bsk, p),
+        bsk_band_rev=_maybe_band_rev(bsk, p),
         params=p,
         block_binary=bool(z.get("block_binary", False)),
     )

@@ -89,6 +89,11 @@ def sharded_bootstrap_pallas(mesh: Mesh, ck: CloudKey, ct: jax.Array,
 
     tv = ck.testvec if testvec is None else testvec
     tv_spec = P() if tv.ndim == 2 else P(axis_name)
+    # Prefer the transposed per-bit core (the engine default for
+    # single-limb-digit profiles, ops/pallas_t.py).
+    use_t = ck.bsk_band_rev is not None
+    band = ck.bsk_band_rev if use_t else ck.bsk_band
+    core = engine._bootstrap_core_t if use_t else engine._bootstrap_core_tpu
 
     def local(bsk_band, ksk, tv_l, ct_l):
         b = ct_l.shape[0]
@@ -99,8 +104,7 @@ def sharded_bootstrap_pallas(mesh: Mesh, ck: CloudKey, ct: jax.Array,
             if tv_l.ndim > 2:
                 tv_l = jnp.concatenate(
                     [tv_l, jnp.zeros((pad,) + tv_l.shape[1:], tv_l.dtype)])
-        out = engine._bootstrap_core_tpu(p, key_switch, bsk_band, ksk,
-                                         ct_l, tv_l)
+        out = core(p, key_switch, bsk_band, ksk, ct_l, tv_l)
         return out[:b]
 
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
@@ -108,7 +112,7 @@ def sharded_bootstrap_pallas(mesh: Mesh, ck: CloudKey, ct: jax.Array,
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), tv_spec, P(axis_name)),
                    out_specs=P(axis_name), check_vma=False)
-    return fn(ck.bsk_band, ck.ksk, tv, ct)
+    return fn(band, ck.ksk, tv, ct)
 
 
 def multihost_initialize(**kwargs) -> None:

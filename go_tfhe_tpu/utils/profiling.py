@@ -117,7 +117,8 @@ def key_memory_usage(ck) -> Dict[str, int]:
     """Byte accounting of a CloudKey (the reference's
     BufferPool.MemoryUsage analogue)."""
     out = {}
-    for name in ("testvec", "ksk", "bsk", "bsk_kernel", "bsk_band"):
+    for name in ("testvec", "ksk", "bsk", "bsk_kernel", "bsk_band",
+                 "bsk_band_rev"):
         arr = getattr(ck, name, None)
         out[name] = 0 if arr is None else arr.size * arr.dtype.itemsize
     out["total"] = sum(out.values())

@@ -18,15 +18,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from go_tfhe_tpu.ops import pallas_extprod, pallas_rotate
+from go_tfhe_tpu.ops import pallas_extprod, pallas_rotate, pallas_t
 
 pallas_extprod.INTERPRET = True
 pallas_rotate.INTERPRET = True
+pallas_t.INTERPRET = True
 
 import go_tfhe_tpu as tfhe  # noqa: E402
 from go_tfhe_tpu.ops.blindrotate import (blind_rotate, blind_rotate_block,  # noqa: E402
                                          blind_rotate_block_tpu,
-                                         blind_rotate_tpu)
+                                         blind_rotate_t, blind_rotate_tpu)
 from go_tfhe_tpu.ops.pallas_extprod import extprod_pallas, pack_bsk_band  # noqa: E402
 from go_tfhe_tpu.ops.polymul import (ext_band_from_trgsw,  # noqa: E402
                                      negacyclic_extprod_toeplitz,
@@ -326,3 +327,39 @@ def test_rotate_decompose_multi_limb_matches_oracle():
     want, limb_mag = _pallas_digits(p, shifts, diff)
     assert limb_mag == 128
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_blind_rotate_t_matches_portable():
+    """The TRANSPOSED per-bit path (ops/pallas_t.py) == the portable blind
+    rotate bit-exactly, end-to-end including the testvec rotation."""
+    p = TEST_PALLAS
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    assert ck.bsk_band_rev is not None
+    b = 8
+    ct = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
+    ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
+    got = np.asarray(blind_rotate_t(p, ck.bsk_band_rev, ct, ck.testvec,
+                                    tb=b))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_blind_rotate_t_bg8_drop_matches_row_major():
+    """Transposed path at the fast-profile gadget shape (bgbit=8/l=2,
+    on-grid keys, kernel_limb_drop=1) == the row-major Pallas path."""
+    import dataclasses
+    p = dataclasses.replace(TEST_PALLAS_BG8, name="test_pallas_t_bg8",
+                            kernel_limb_drop=1, key_grid_bits=8,
+                            centered_decomposition=True)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    b = 8
+    ct = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
+    ref = np.asarray(blind_rotate_tpu(p, ck.bsk_band, ct, ck.testvec, tb=b))
+    got = np.asarray(blind_rotate_t(p, ck.bsk_band_rev, ct, ck.testvec,
+                                    tb=b))
+    np.testing.assert_array_equal(got, ref)

@@ -13,11 +13,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from go_tfhe_tpu.ops import pallas_extprod, pallas_rotate, pallas_step
+from go_tfhe_tpu.ops import (pallas_extprod, pallas_rotate,
+                             pallas_step, pallas_t)
 
 pallas_extprod.INTERPRET = True
 pallas_rotate.INTERPRET = True
 pallas_step.INTERPRET = True
+pallas_t.INTERPRET = True
 
 import go_tfhe_tpu as tfhe  # noqa: E402
 from go_tfhe_tpu import cipher, engine  # noqa: E402
