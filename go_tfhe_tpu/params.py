@@ -437,10 +437,12 @@ P128_FAST = dataclasses.replace(
 # outputs at batch 2048 (EXT_r04.json, `uint6` row).  The reference never
 # ran these profiles (params/UINT_STATUS.md), so the marginality is
 # inherited, not introduced.  Centering the offset (same mechanism as the
-# `*_fast` boolean profiles) makes the representation error zero-mean;
-# the dominant remaining term is the 2kN mod switch (~2^21.7), restoring
-# a ~5 sigma margin.  Same crypto parameters; ciphertext bits differ from
-# reference-parity floor semantics.
+# `*_fast` boolean profiles) makes the representation error zero-mean.
+# Measured (NOISE_PBS_r04.json, batch 2048, tools/noise_margin_pbs.py):
+# uint6 floor phase std 2^22.7 = 2.5 sigma from the 2^24 PBS margin
+# (1.2% error/PBS); uint6_centered 2^18.0 = 64.5 sigma (zero errors);
+# uint7_centered 36.8 sigma.  Same crypto parameters; ciphertext bits
+# differ from reference-parity floor semantics.
 UINT6_CENTERED = dataclasses.replace(
     UINT6, name="uint6_centered", centered_decomposition=True)
 UINT7_CENTERED = dataclasses.replace(
