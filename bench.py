@@ -63,6 +63,10 @@ def main() -> None:
         p = tfhe.P128
     else:
         p = tfhe.get_params("128bit_fast")
+    if block:
+        # measure the fused block-rotation kernel itself (the engine's
+        # default for block keys is the faster transposed per-bit path)
+        engine.PREFER_BLOCK_ROTATION = True
 
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
     t_key0 = time.perf_counter()

@@ -32,6 +32,15 @@ Array = jax.Array
 # batch tile; blind_rotate_*_tpu auto-shrink tb for smaller batches).
 _TPU_BATCH_TILE = 256
 
+# Route block-binary keys through the fused BLOCK rotation kernel instead
+# of the per-bit transposed path.  OFF by default since round 4: the
+# transposed per-bit path measures 8,205/s vs the block kernel's 7,886/s
+# at 128bit_fast (BENCH_r04 / BENCH_variants_r04) — the block kernel's
+# launch-count advantage no longer beats the cheaper sublane rotation.
+# The kernel stays fully tested and available (blind_rotate_block_tpu);
+# bench.py --block sets this True to keep measuring it.
+PREFER_BLOCK_ROTATION = False
+
 # Affine-preparation bias constants (evaluator/gates_helper.go, gates/gates.go).
 _T_EIGHTH = int(f64_to_torus(0.125))
 _T_NEG_EIGHTH = int(f64_to_torus(-0.125))
@@ -149,7 +158,8 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
                 [tv, jnp.zeros((pad,) + tv_shape, tv.dtype)], axis=0)
     if ext:
         tpu_core, bsk_op = _bootstrap_core_ext_tpu, ck.bsk_band
-    elif block and p.digit_limbs == 1:
+    elif (block and p.digit_limbs == 1
+          and (PREFER_BLOCK_ROTATION or ck.bsk_band_rev is None)):
         tpu_core, bsk_op = _bootstrap_core_block_tpu, ck.bsk_band
     elif ck.bsk_band_rev is not None:
         # transposed per-bit path: the fastest measured layout for
