@@ -169,8 +169,8 @@ def _maybe_band(bsk: Array, p: TFHEParams) -> Optional[Array]:
 
 def _maybe_band_rev(bsk: Array, p: TFHEParams) -> Optional[Array]:
     """Reversed bands for the transposed per-bit path (ops/pallas_t.py)
-    — the fastest measured layout for single-limb-digit profiles."""
-    if p.n % 256 == 0 and p.digit_limbs == 1 and p.poly_extend_factor == 1:
+    — the fastest measured layout for non-extended profiles."""
+    if p.n % 256 == 0 and p.poly_extend_factor == 1:
         return pack_bsk_band_rev(bsk, pad=1024)
     return None
 

@@ -362,19 +362,21 @@ def blind_rotate_t(p: TFHEParams, bsk_band_rev: Array, ct: Array,
     """TRANSPOSED per-bit TPU fast path (ops/pallas_t.py) — bit-exact with
     :func:`blind_rotate` / :func:`blind_rotate_tpu`, measured 698 vs 729
     us/step at bench shapes (coefficients on sublanes make the log-
-    rotation rolls vreg-friendly).  Single-limb-digit profiles only.
+    rotation rolls vreg-friendly).  Wide digits (BGBIT > 8) split into
+    exact base-256 limb row planes in-kernel.
 
     bsk_band_rev: (n_lwe, 2, 2L, 2N+pad) int32 reversed bands (keys.py).
     ct:           (B, n_lwe+1) uint32, B a multiple of 128.
     testvec:      (2, N) or (B, 2, N) uint32.
     Returns (B, 2, N) uint32.
     """
-    assert p.digit_limbs == 1
+    nd = p.digit_limbs
     n_lwe = p.lwe_n
     b = ct.shape[0]
     while tb > 128 and b % tb:
         tb //= 2
-    lo = p.kernel_limb_drop
+    lo = p.kernel_limb_drop if nd == 1 else 0
+    limb_mag = min(p.half_bg, 128)
 
     b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p)          # (B,)
     if testvec.ndim == 2:
@@ -389,8 +391,8 @@ def blind_rotate_t(p: TFHEParams, bsk_band_rev: Array, ct: Array,
     def body(i, acc):
         band_i = lax.dynamic_index_in_dim(bsk_band_rev, i, 0, False)
         digits = rotate_decompose_t(p, acc, a_tilda[:, i], tb=tb)
-        return extprod_t(digits, band_i, acc, limb_mag=p.half_bg, tb=tb,
-                         lo=lo)
+        return extprod_t(digits, band_i, acc, limb_mag=limb_mag, tb=tb,
+                         lo=lo, nd=nd)
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(jnp.swapaxes(acc, 1, 2), 0, 1)          # (B, 2, N)

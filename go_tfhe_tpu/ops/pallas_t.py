@@ -29,8 +29,10 @@ affine expression nt*tn + jt*tj (Mosaic's alignment prover rejects
 subtracted traced products).  int8 x int8 -> int32 dots are exact
 (K*half_bg*128 < 2^31 for every single-limb profile).
 
-Multi-limb digit profiles (Uint2-8) and the block/extended paths stay on
-the row-major kernels; this module intentionally supports nd == 1 only.
+Wide-digit profiles (BGBIT > 8: Uint2-5) split digits into exact signed
+base-256 limb row planes in-kernel and skip kernel-limb pairs whose
+weight exceeds 2^32, exactly like the row-major kernel; the block and
+extended-LUT paths stay on the row-major kernels.
 """
 
 from __future__ import annotations
@@ -73,10 +75,13 @@ def pack_bsk_band_rev(bsk_u32: Array, pad: int = 1024) -> Array:
 
 
 def _rotdec_t_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
-                     l: int, bgbit: int, offset: int):
+                     l: int, bgbit: int, offset: int, nd: int):
     """acc_ref (2, N, TB) int32; amt_ref (1, TB) int32;
-    out_ref (2L*N, TB) int8 digits of X^amt . acc - acc, row blocks
-    ordered [(c, lv) for c in (A, B) for lv in levels] * N coeffs."""
+    out_ref (ND*2L*N, TB) int8 digit limbs of X^amt . acc - acc:
+    limb-major row blocks, each ordered [(c, lv)] * N coeffs.  Digits
+    wider than int8 (BGBIT > 8, the Uint profiles) split in-kernel into
+    ``nd`` exact signed base-256 limbs (polymul.split_signed_limbs_i8
+    arithmetic)."""
     half_bg = 1 << (bgbit - 1)
     mask = (1 << bgbit) - 1
     tb = acc_ref.shape[2]
@@ -98,29 +103,38 @@ def _rotdec_t_kernel(acc_ref, amt_ref, out_ref, *, n: int, nbits: int,
     for lv in range(l):
         sh = 32 - (lv + 1) * bgbit
         d = ((tmp >> sh) & mask) - half_bg
-        for c in range(2):
-            row = ((c * l) + lv) * n
-            out_ref[pl.ds(row, n), :] = d[:, c * tb:(c + 1) * tb].astype(
-                jnp.int8)
+        for i in range(nd):
+            if nd == 1:
+                limb, d = d, None
+            else:
+                if i < nd - 1:            # exact signed base-256 split
+                    limb = ((d + 128) & 255) - 128
+                    d = (d - limb) >> 8   # arithmetic shift, exact
+                else:
+                    limb = d
+            for c in range(2):
+                row = (i * 2 * l + (c * l) + lv) * n
+                out_ref[pl.ds(row, n), :] = limb[
+                    :, c * tb:(c + 1) * tb].astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("tb",))
 def rotate_decompose_t(p: TFHEParams, acc: Array, amounts: Array,
                        tb: int = 256) -> Array:
     """acc (2, N, B) uint32 transposed accumulators; amounts (B,) int32 in
-    [0, 2N].  Returns (2L*N, B) int8 digits of X^amount . acc - acc.
-    Requires single-limb digits (half_bg <= 128)."""
-    assert p.digit_limbs == 1
+    [0, 2N].  Returns (ND*2L*N, B) int8 digit limbs of
+    X^amount . acc - acc (ND = p.digit_limbs; limb-major rows)."""
+    nd = p.digit_limbs
     n = p.n
     b = acc.shape[2]
-    rows = 2 * p.l * n
+    rows = nd * 2 * p.l * n
     off = p.decomposition_offset
     off = off - (1 << 32) if off >= (1 << 31) else off
     while tb > 8 and b % tb:
         tb //= 2
     return pl.pallas_call(
         functools.partial(_rotdec_t_kernel, n=n, nbits=n.bit_length(),
-                          l=p.l, bgbit=p.bgbit, offset=off),
+                          l=p.l, bgbit=p.bgbit, offset=off, nd=nd),
         grid=(b // tb,),
         in_specs=[
             pl.BlockSpec((2, n, tb), lambda bt: (0, 0, bt),
@@ -138,12 +152,14 @@ def rotate_decompose_t(p: TFHEParams, acc: Array, amounts: Array,
 
 
 def _extprod_t_kernel(d_ref, band_ref, acc_ref, out_ref, t_scratch, *,
-                      n: int, l2: int, tn: int, tj: int, lo: int):
+                      n: int, l2: int, tn: int, tj: int, lo: int, nd: int):
     """One grid cell: out tile = acc tile + product tile.
 
-    d_ref (2L*N, TB) int8; band_ref (1, 2L, 2N+pad) int32 reversed-packed;
-    acc_ref/out_ref (1, tn, TB) uint32 (aliased);
-    t_scratch ((NUM_LIMBS-lo)*tn, 2L*N) int8, rebuilt when nt moves.
+    d_ref (ND*2L*N, TB) int8 limb-major digit limbs; band_ref
+    (1, 2L, 2N+pad) int32 reversed-packed; acc_ref/out_ref (1, tn, TB)
+    uint32 (aliased); t_scratch ((NUM_LIMBS-lo)*tn, 2L*N) int8, rebuilt
+    when nt moves.  Multi-limb digits (ND > 1): digit limb i contracts
+    kernel limbs j <= NUM_LIMBS-1-i only (weight 2^(8(i+j)) < 2^32).
     """
     nt = pl.program_id(1)
     bt = pl.program_id(2)
@@ -174,28 +190,34 @@ def _extprod_t_kernel(d_ref, band_ref, acc_ref, out_ref, t_scratch, *,
                                   jnp.int8)
 
     out = None
-    dmat = d_ref[:, :]
-    for l in range(nl):
-        part = jax.lax.dot_general(
-            t_scratch[pl.ds(l * tn, tn), :], dmat,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        term = part.astype(jnp.uint32)
-        if l + lo:
-            term = term << jnp.uint32(8 * (l + lo))
-        out = term if out is None else out + term
+    k2 = l2 * n
+    for i in range(nd):
+        dmat = d_ref[pl.ds(i * k2, k2), :]
+        for l in range(nl - i):
+            part = jax.lax.dot_general(
+                t_scratch[pl.ds(l * tn, tn), :], dmat,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            term = part.astype(jnp.uint32)
+            if i + l + lo:
+                term = term << jnp.uint32(8 * (i + l + lo))
+            out = term if out is None else out + term
     out_ref[0, :, :] = out + acc_ref[0, :, :]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tb", "tn", "tj", "limb_mag", "lo"))
+                   static_argnames=("tb", "tn", "tj", "limb_mag", "lo",
+                                    "nd"))
 def extprod_t(digits: Array, band: Array, acc: Array, limb_mag: int = 128,
               tb: int = 256, tn: int = 1024, tj: int = 128,
-              lo: int = 0) -> Array:
-    """digits (2L*N, B) int8; band (2, 2L, 2N+pad) int32 reversed-packed;
-    acc (2, N, B) uint32.  Returns acc + external product mod 2^32
-    (exact when ``lo`` == 0; ``lo`` drops the lowest kernel limbs — exact
-    for on-grid keys with key_grid_bits >= 8*lo, see pallas_extprod)."""
+              lo: int = 0, nd: int = 1) -> Array:
+    """digits (ND*2L*N, B) int8 limb-major; band (2, 2L, 2N+pad) int32
+    reversed-packed; acc (2, N, B) uint32.  Returns acc + external
+    product mod 2^32 (exact when ``lo`` == 0; ``lo`` drops the lowest
+    kernel limbs — exact for on-grid keys with key_grid_bits >= 8*lo,
+    see pallas_extprod; only valid for nd == 1)."""
+    assert lo == 0 or nd == 1
     k, b = digits.shape
+    k //= nd
     n = acc.shape[1]
     l2 = k // n
     assert acc.shape == (2, n, b)
@@ -212,10 +234,10 @@ def extprod_t(digits: Array, band: Array, acc: Array, limb_mag: int = 128,
     grid = (2, n // tn, b // tb)
     return pl.pallas_call(
         functools.partial(_extprod_t_kernel, n=n, l2=l2, tn=tn, tj=tj,
-                          lo=lo),
+                          lo=lo, nd=nd),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((k, tb), lambda c, nt, bt: (0, bt),
+            pl.BlockSpec((nd * k, tb), lambda c, nt, bt: (0, bt),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l2, band.shape[-1]),
                          lambda c, nt, bt: (c, 0, 0),

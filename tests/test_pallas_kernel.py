@@ -363,3 +363,25 @@ def test_blind_rotate_t_bg8_drop_matches_row_major():
     got = np.asarray(blind_rotate_t(p, ck.bsk_band_rev, ct, ck.testvec,
                                     tb=b))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_blind_rotate_t_multilimb_matches_portable():
+    """Transposed path with WIDE digits (bgbit=18 -> nd=3 limb planes,
+    the Uint2-5 shape) == portable blind rotate bit-exactly."""
+    p = TFHEParams(
+        name="test_pallas_t_wide",
+        lwe_n=6, lwe_alpha=1.0 / (1 << 26),
+        n=256, lv1_alpha=1.0 / (1 << 30), nbit=8,
+        bgbit=18, l=1, basebit=4, iks_t=6, block_size=1,
+        message_modulus=8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    assert ck.bsk_band_rev is not None
+    b = 8
+    ct = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
+    ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
+    got = np.asarray(blind_rotate_t(p, ck.bsk_band_rev, ct, ck.testvec,
+                                    tb=b))
+    np.testing.assert_array_equal(got, ref)
