@@ -83,12 +83,15 @@ def main() -> None:
         # past the noise budget — so the run MUST exit 1 with value null.
         import dataclasses as _dc
         grid = jnp.uint32(0xFFFF0000)
-        ck = _dc.replace(
-            ck,
-            bsk_kernel=jnp.bitwise_and(
-                ck.bsk_kernel.view(jnp.uint32), grid).view(jnp.int32),
-            bsk_band=None if ck.bsk_band is None else jnp.bitwise_and(
-                ck.bsk_band.view(jnp.uint32), grid).view(jnp.int32))
+
+        def _wipe(arr):
+            return None if arr is None else jnp.bitwise_and(
+                arr.view(jnp.uint32), grid).view(jnp.int32)
+
+        ck = _dc.replace(ck,
+                         bsk_kernel=_wipe(ck.bsk_kernel),
+                         bsk_band=_wipe(ck.bsk_band),
+                         bsk_band_rev=_wipe(ck.bsk_band_rev))
 
     bits_a = np.resize([False, True], batch)
     bits_b = np.resize([False, False, True, True], batch)
