@@ -168,9 +168,9 @@ def _maybe_band(bsk: Array, p: TFHEParams) -> Optional[Array]:
 
 
 def _maybe_band_rev(bsk: Array, p: TFHEParams) -> Optional[Array]:
-    """Reversed bands for the transposed per-bit path (ops/pallas_t.py)
-    — the fastest measured layout for non-extended profiles."""
-    if p.n % 256 == 0 and p.poly_extend_factor == 1:
+    """Reversed bands for the transposed paths (ops/pallas_t.py): the
+    per-bit default and the opt-in extended variant."""
+    if p.n % 256 == 0:
         return pack_bsk_band_rev(bsk, pad=1024)
     return None
 

@@ -27,7 +27,8 @@ from .extprod import cmux, external_product
 from .pallas_ext import rotate_decompose_ext_pallas
 from .pallas_extprod import extprod_pallas
 from .pallas_rotate import rotate_decompose_pallas
-from .pallas_t import extprod_t, rotate_decompose_t
+from .pallas_t import (extprod_ext_t, extprod_t, rotate_decompose_ext_t,
+                       rotate_decompose_t)
 from .pallas_step import fused_rotate_step
 from .polymul import negacyclic_extprod_toeplitz, split_signed_limbs_i8
 from .rotate import (monomial_mul, monomial_mul_blocks,
@@ -203,6 +204,43 @@ def blind_rotate_extended_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
 
     acc = lax.fori_loop(0, n_lwe, body, acc)
     return jnp.moveaxis(acc.reshape(2, b, k, n), 0, -2)      # (B, k, 2, N)
+
+
+def blind_rotate_extended_t(p: TFHEParams, bsk_band_rev: Array, ct: Array,
+                            lut_blocks: Array, tb: int | None = None,
+                            tn: int = 1024) -> Array:
+    """TRANSPOSED extended-LUT blind rotation (ops/pallas_t.py) — the
+    sublane-layout variant of :func:`blind_rotate_extended_tpu`, bit-exact
+    with it and with the portable :func:`blind_rotate_extended`.
+
+    bsk_band_rev: (n_lwe, 2, 2L, 2N+pad) int32 reversed bands (keys.py).
+    ct:           (B, n_lwe+1) uint32, B a multiple of 128.
+    lut_blocks:   (k, 2, N) or (B, k, 2, N) uint32 trivial TRLWE blocks.
+    Returns (B, k, 2, N) uint32.
+    """
+    n_lwe, k, n = p.lwe_n, p.poly_extend_factor, p.n
+    big_mod = 2 * k * n
+    b = ct.shape[0]
+    nd = p.digit_limbs
+    limb_mag = min(p.half_bg, 128)
+    lo = p.kernel_limb_drop if nd == 1 else 0
+
+    b_tilda = big_mod - mod_switch_general(ct[:, n_lwe], big_mod)    # (B,)
+    acc0 = monomial_mul_blocks_log(
+        jnp.broadcast_to(lut_blocks, (b, k, 2, n)), b_tilda, k)
+    # (B, k, 2, N) -> (2, k*N, B): block r in sublane rows [rN, (r+1)N)
+    acc = jnp.transpose(acc0, (2, 1, 3, 0)).reshape(2, k * n, b)
+
+    a_tilda = mod_switch_general(ct[:, :n_lwe], big_mod)         # (B, n_lwe)
+
+    def body(i, acc):
+        band_i = lax.dynamic_index_in_dim(bsk_band_rev, i, 0, False)
+        digits = rotate_decompose_ext_t(p, acc, a_tilda[:, i], tb=tb)
+        return extprod_ext_t(digits, band_i, acc, kblocks=k,
+                             limb_mag=limb_mag, tn=tn, lo=lo, nd=nd)
+
+    acc = lax.fori_loop(0, n_lwe, body, acc)
+    return jnp.transpose(acc.reshape(2, k, n, b), (3, 1, 0, 2))
 
 
 def blind_rotate_block(p: TFHEParams, bsk_bands: Array, ct: Array,

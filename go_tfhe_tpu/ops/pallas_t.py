@@ -257,3 +257,207 @@ def extprod_t(digits: Array, band: Array, acc: Array, limb_mag: int = 128,
         input_output_aliases={2: 0},
         interpret=INTERPRET,
     )(digits, band, acc)
+
+
+# ---------------------------------------------------------------------------
+# Extended-LUT (polyExtendFactor k > 1) transposed kernels.
+# ---------------------------------------------------------------------------
+
+def _rotdec_ext_t_kernel(acc_ref, amt_ref, out_ref, *, n: int, k: int,
+                         l: int, bgbit: int, offset: int, nd: int):
+    """acc_ref (2, k*N, TB) int32 — interleaved big accumulator, block r in
+    sublane rows [r*N, (r+1)*N); amt_ref (1, TB) int32 in [0, 2kN);
+    out_ref (k*ND*2L*N, TB) int8 digit limbs, block-major row groups each
+    in extprod_t's limb-major layout.  Rotation math identical to
+    pallas_ext._rotdec_ext_kernel with rolls on the SUBLANE axis."""
+    half_bg = 1 << (bgbit - 1)
+    mask = (1 << bgbit) - 1
+    l2 = 2 * l
+    tb = acc_ref.shape[2]
+    big = 2 * k * n
+    nbits = (big - 1).bit_length()
+    sub_n = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * tb), 0)
+    x0 = jnp.concatenate([acc_ref[0], acc_ref[1]], axis=1)   # (kN, 2TB)
+    a2 = jnp.concatenate([amt_ref[0:1, :], amt_ref[0:1, :]], axis=1)
+
+    def seg(x, r):
+        return x[r * n:(r + 1) * n, :]
+
+    def rot_y(x_seg, m):
+        m = m % (2 * n)
+        flip, a = m >= n, m % n
+        if a:
+            x_seg = pltpu.roll(x_seg, shift=a, axis=0)
+            x_seg = jnp.where(sub_n < a, ~x_seg, x_seg)
+        return ~x_seg if flip else x_seg
+
+    x = x0
+    for j in range(nbits):
+        shift = (1 << j) % big
+        s, q = shift % k, shift // k
+        parts = []
+        for rp in range(k):
+            src = (rp - s) % k
+            parts.append(rot_y(seg(x, src), q + (1 if rp < s else 0)))
+        rolled = jnp.concatenate(parts, axis=0) if k > 1 else parts[0]
+        bit = (a2 >> j) & 1
+        x = jnp.where(bit > 0, rolled, x)
+
+    for r in range(k):
+        tmp = (seg(x, r) - seg(x0, r)) + jnp.int32(offset)
+        for lv in range(l):
+            sh = 32 - (lv + 1) * bgbit
+            d = ((tmp >> sh) & mask) - half_bg
+            for i in range(nd):
+                if nd == 1:
+                    limb, d = d, None
+                else:
+                    if i < nd - 1:
+                        limb = ((d + 128) & 255) - 128
+                        d = (d - limb) >> 8
+                    else:
+                        limb = d
+                for c in range(2):
+                    row = ((r * nd + i) * l2 + c * l + lv) * n
+                    out_ref[pl.ds(row, n), :] = limb[
+                        :, c * tb:(c + 1) * tb].astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("tb",))
+def rotate_decompose_ext_t(p: TFHEParams, acc: Array, amounts: Array,
+                           tb: int | None = None) -> Array:
+    """acc (2, k*N, B) uint32; amounts (B,) int32 in [0, 2kN).
+    Returns (k*ND*2L*N, B) int8 digit limbs (block-major row groups)."""
+    k, n, nd = p.poly_extend_factor, p.n, p.digit_limbs
+    b = acc.shape[2]
+    assert acc.shape == (2, k * n, b)
+    rows = k * nd * 2 * p.l * n
+    off = p.decomposition_offset
+    off = off - (1 << 32) if off >= (1 << 31) else off
+    if tb is None:
+        per_row = 4 * (2 * k * n * 4) + rows
+        tb = 256
+        while tb > 32 and tb * per_row > 40 << 20:
+            tb //= 2
+    while tb > 8 and b % tb:
+        tb //= 2
+    return pl.pallas_call(
+        functools.partial(_rotdec_ext_t_kernel, n=n, k=k, l=p.l,
+                          bgbit=p.bgbit, offset=off, nd=nd),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((2, k * n, tb), lambda bt: (0, 0, bt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda bt: (0, bt),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, tb), lambda bt: (0, bt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, b), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 << 20),
+        interpret=INTERPRET,
+    )(to_signed(acc), amounts.astype(jnp.int32)[None, :])
+
+
+def _extprod_ext_t_kernel(d_ref, band_ref, acc_ref, out_ref, t_scratch, *,
+                          n: int, l2: int, tn: int, tj: int, lo: int,
+                          nd: int, k: int):
+    """Extended variant of _extprod_t_kernel: grid dim 1 enumerates
+    (ntb, r) pairs with r fastest (nt = ntb*k + r), so the transposed
+    Toeplitz scratch — which depends on (c, ntb) only — is rebuilt once
+    per k block cells.  Block r contracts digit row group r against the
+    SAME band; output rows live at block r's [r*N + tile] range (the
+    BlockSpec index maps handle both)."""
+    nt = pl.program_id(1)
+    bt = pl.program_id(2)
+    nl = NUM_LIMBS - lo
+    ntb = nt // k
+
+    @pl.when((bt == 0) & (nt % k == 0))
+    def _build():
+        for r in range(l2):
+            for jt in range(n // tj):
+                w0 = ntb * tn + jt * tj
+                w = band_ref[0, r, pl.ds(w0, 2 * tn)]
+                wmat = jnp.broadcast_to(w, (tn, 2 * tn))
+                rolled = pltpu.roll(wmat, shift=tn + 1, axis=1, stride=1,
+                                    stride_axis=0)[:, :tj]
+                for l in range(lo, NUM_LIMBS):
+                    limb = ((rolled >> (8 * l)) & 255) - 128
+                    t_scratch[pl.ds((l - lo) * tn, tn),
+                              pl.ds(r * n + jt * tj, tj)] = limb.astype(
+                                  jnp.int8)
+
+    out = None
+    k2 = l2 * n
+    for i in range(nd):
+        dmat = d_ref[pl.ds(i * k2, k2), :]
+        for l in range(nl - i):
+            part = jax.lax.dot_general(
+                t_scratch[pl.ds(l * tn, tn), :], dmat,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            term = part.astype(jnp.uint32)
+            if i + l + lo:
+                term = term << jnp.uint32(8 * (i + l + lo))
+            out = term if out is None else out + term
+    out_ref[0, :, :] = out + acc_ref[0, :, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kblocks", "tb", "tn", "tj", "limb_mag",
+                                    "lo", "nd"))
+def extprod_ext_t(digits: Array, band: Array, acc: Array, kblocks: int,
+                  limb_mag: int = 128, tb: int = 256, tn: int = 1024,
+                  tj: int = 128, lo: int = 0, nd: int = 1) -> Array:
+    """Extended-LUT transposed external product: digits
+    (k*ND*2L*N, B) int8 block-major; band (2, 2L, 2N+pad) int32
+    reversed-packed; acc (2, k*N, B) uint32.  Returns acc + the
+    block-wise external product (every block contracts the same band)."""
+    assert lo == 0 or nd == 1
+    kk = kblocks
+    rows, b = digits.shape
+    n = acc.shape[1] // kk
+    k2 = rows // (kk * nd)
+    l2 = k2 // n
+    assert acc.shape == (2, kk * n, b)
+    assert l2 * n * limb_mag * 128 < 1 << 31
+    while tb > 8 and b % tb:
+        tb //= 2
+    while tn > n or n % tn:
+        tn //= 2
+    nl = NUM_LIMBS - lo
+    while tn > 256 and nl * tn * k2 > 14 << 20:
+        tn //= 2
+    pad = band.shape[-1] - 2 * n
+    assert pad >= tn - tj, (pad, tn, tj)
+    m = n // tn
+    grid = (2, m * kk, b // tb)
+    return pl.pallas_call(
+        functools.partial(_extprod_ext_t_kernel, n=n, l2=l2, tn=tn, tj=tj,
+                          lo=lo, nd=nd, k=kk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nd * k2, tb), lambda c, nt, bt: (nt % kk, bt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l2, band.shape[-1]),
+                         lambda c, nt, bt: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, tb),
+                         lambda c, nt, bt: (
+                             c, (nt % kk) * m + (m - 1 - nt // kk), bt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tn, tb),
+                               lambda c, nt, bt: (
+                                   c, (nt % kk) * m + (m - 1 - nt // kk),
+                                   bt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, kk * n, b), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((nl * tn, k2), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+            vmem_limit_bytes=96 << 20),
+        input_output_aliases={2: 0},
+        interpret=INTERPRET,
+    )(digits, band, acc)

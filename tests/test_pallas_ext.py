@@ -109,3 +109,26 @@ def test_extended_pbs_end_to_end_interpret():
                                          ct, jnp.asarray(lut_blocks))
     dec = np.asarray(cipher.lwe_decrypt_message(out, m, sk.lv0))
     np.testing.assert_array_equal(dec, (msgs + 1) % m)
+
+
+@pytest.mark.parametrize("p", [tfhe.TEST_EXT2, TEST_EXT_WIDE],
+                         ids=lambda p: p.name)
+def test_blind_rotate_extended_t_matches_portable(p):
+    """TRANSPOSED extended blind rotate (ops/pallas_t.py) == portable
+    extended blind rotate bit-exactly (k=2 single-limb and k=3 wide-digit
+    shapes)."""
+    from go_tfhe_tpu.ops import pallas_t
+    pallas_t.INTERPRET = True
+    from go_tfhe_tpu.ops.blindrotate import blind_rotate_extended_t
+    k1, k2 = jax.random.split(jax.random.PRNGKey(23))
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    assert ck.bsk_band_rev is not None
+    b = 8
+    ct = jnp.asarray(RNG.integers(
+        0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
+    lut_blocks = ck.testvec
+    ref = np.asarray(blind_rotate_extended(p, ck.bsk_kernel, ct, lut_blocks))
+    got = np.asarray(blind_rotate_extended_t(p, ck.bsk_band_rev, ct,
+                                             lut_blocks, tb=b))
+    np.testing.assert_array_equal(got, ref)
