@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .keys import CloudKey
 from .ops.blindrotate import (blind_rotate, blind_rotate_block,
                               blind_rotate_block_tpu, blind_rotate_extended,
+                              blind_rotate_extended_t,
                               blind_rotate_extended_tpu, blind_rotate_t,
                               blind_rotate_tpu)
 from .ops.keyswitch import identity_key_switch
@@ -75,9 +76,20 @@ def _bootstrap_core_ext(p: TFHEParams, key_switch: bool, bsk_kernel: Array,
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _bootstrap_core_ext_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
                             ksk: Array, ct: Array, lut_blocks: Array) -> Array:
-    """Extended-LUT bootstrap, Pallas fast path (ops/pallas_ext.py);
+    """Extended-LUT bootstrap, row-major Pallas path (ops/pallas_ext.py);
     ct (B, n+1) with B a multiple of the batch tile."""
     rotated = blind_rotate_extended_tpu(p, bsk_band, ct, lut_blocks)
+    lv1 = sample_extract(rotated[..., 0, :, :], 0)   # big-poly coeff 0
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_ext_t(p: TFHEParams, key_switch: bool,
+                          bsk_band_rev: Array, ksk: Array, ct: Array,
+                          lut_blocks: Array) -> Array:
+    """Extended-LUT bootstrap, TRANSPOSED Pallas path (ops/pallas_t.py) —
+    measured 2.02 vs 2.30 ms/ct at Uint6, the extended default."""
+    rotated = blind_rotate_extended_t(p, bsk_band_rev, ct, lut_blocks)
     lv1 = sample_extract(rotated[..., 0, :, :], 0)   # big-poly coeff 0
     return identity_key_switch(p, ksk, lv1) if key_switch else lv1
 
@@ -156,7 +168,9 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
         if tv.ndim > tv_shared_ndim:
             tv = jnp.concatenate(
                 [tv, jnp.zeros((pad,) + tv_shape, tv.dtype)], axis=0)
-    if ext:
+    if ext and ck.bsk_band_rev is not None:
+        tpu_core, bsk_op = _bootstrap_core_ext_t, ck.bsk_band_rev
+    elif ext:
         tpu_core, bsk_op = _bootstrap_core_ext_tpu, ck.bsk_band
     elif (block and p.digit_limbs == 1
           and (PREFER_BLOCK_ROTATION or ck.bsk_band_rev is None)):
