@@ -22,6 +22,7 @@ from .ops.blindrotate import (blind_rotate, blind_rotate_block,
                               blind_rotate_extended_t,
                               blind_rotate_extended_tpu, blind_rotate_t,
                               blind_rotate_tpu)
+from .ops import pallas_t
 from .ops.keyswitch import identity_key_switch
 from .ops.sample_extract import sample_extract
 from .params import TFHEParams
@@ -168,7 +169,7 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
         if tv.ndim > tv_shared_ndim:
             tv = jnp.concatenate(
                 [tv, jnp.zeros((pad,) + tv_shape, tv.dtype)], axis=0)
-    if ext and ck.bsk_band_rev is not None:
+    if ext and ck.bsk_band_rev is not None and pallas_t.ext_t_fits(p):
         tpu_core, bsk_op = _bootstrap_core_ext_t, ck.bsk_band_rev
     elif ext:
         tpu_core, bsk_op = _bootstrap_core_ext_tpu, ck.bsk_band

@@ -263,6 +263,21 @@ def extprod_t(digits: Array, band: Array, acc: Array, limb_mag: int = 128,
 # Extended-LUT (polyExtendFactor k > 1) transposed kernels.
 # ---------------------------------------------------------------------------
 
+def _ext_t_bytes_per_row(p: TFHEParams) -> int:
+    """Rough per-batch-row VMEM footprint of the extended transposed
+    rotation cell (~4 live copies of the (2, kN) int32 working set plus
+    the digit block row)."""
+    k, n = p.poly_extend_factor, p.n
+    return 4 * (2 * k * n * 4) + k * p.digit_limbs * 2 * p.l * n
+
+
+def ext_t_fits(p: TFHEParams) -> bool:
+    """True when the extended transposed kernel fits VMEM at the minimum
+    legal batch tile (128 lanes).  Uint8's k=9 big accumulator does not —
+    it stays on the row-major extended path."""
+    return 128 * _ext_t_bytes_per_row(p) <= 80 << 20
+
+
 def _rotdec_ext_t_kernel(acc_ref, amt_ref, out_ref, *, n: int, k: int,
                          l: int, bgbit: int, offset: int, nd: int):
     """acc_ref (2, k*N, TB) int32 — interleaved big accumulator, block r in
@@ -335,12 +350,14 @@ def rotate_decompose_ext_t(p: TFHEParams, acc: Array, amounts: Array,
     off = p.decomposition_offset
     off = off - (1 << 32) if off >= (1 << 31) else off
     if tb is None:
-        per_row = 4 * (2 * k * n * 4) + rows
         tb = 256
-        while tb > 32 and tb * per_row > 40 << 20:
+        while tb > 128 and tb * _ext_t_bytes_per_row(p) > 40 << 20:
             tb //= 2
     while tb > 8 and b % tb:
         tb //= 2
+    # Pallas requires the lane dim of a block either >= 128-divisible or
+    # equal to the array dim; tb < 128 is only legal when it IS the batch.
+    assert tb >= 128 or tb == b, (tb, b)
     return pl.pallas_call(
         functools.partial(_rotdec_ext_t_kernel, n=n, k=k, l=p.l,
                           bgbit=p.bgbit, offset=off, nd=nd),
