@@ -83,11 +83,11 @@ def main() -> None:
     t0 = time.perf_counter()
     ck = tfhe.gen_cloud_key(keys[1], sk, p)
     _ = np.asarray(ck.bsk)[:1, :1, :1, :1]
-    if ck.bsk_band is not None:
-        _ = np.asarray(ck.bsk_band)[:1, :1, :1, :1]
+    if ck.bsk_band_rev is not None:
+        _ = np.asarray(ck.bsk_band_rev)[:1, :1, :1, :1]
     cold = time.perf_counter() - t0
     emit(f"keygen_cloud_{p.name}_cold", cold)
-    steady = timed(lambda: tfhe.gen_cloud_key(keys[1], sk, p).bsk_band)
+    steady = timed(lambda: tfhe.gen_cloud_key(keys[1], sk, p).bsk_band_rev)
     emit(f"keygen_cloud_{p.name}", steady)
     # compile-vs-compute split: the cold call is compile (or compilation-
     # cache load) + one compute; steady-state is pure compute.

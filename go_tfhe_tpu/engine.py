@@ -133,6 +133,36 @@ def _bootstrap_core_block_tpu(p: TFHEParams, key_switch: bool,
     return identity_key_switch(p, ksk, lv1) if key_switch else lv1
 
 
+def _tpu_core_choice(ck: CloudKey):
+    """Pick the Pallas core + band layout the CloudKey can serve, or None
+    for the portable path.  Keys built with bands='auto' (keys.py) carry
+    only the layout(s) this dispatch reaches."""
+    p = ck.params
+    if not _use_tpu_path(p):
+        return None
+    ext = p.poly_extend_factor > 1
+    block = ck.block_binary and p.block_size > 1 and not ext
+    if ext and ck.bsk_band_rev is not None and pallas_t.ext_t_fits(p):
+        return _bootstrap_core_ext_t, ck.bsk_band_rev
+    if ext and ck.bsk_band is not None:
+        return _bootstrap_core_ext_tpu, ck.bsk_band
+    if ext:
+        return None
+    # Block blind rotation needs a block-binary lv0 key (keys.py); the
+    # Pallas block kernel additionally needs int8 digits to fit its
+    # scratch within VMEM — other profiles use the per-bit paths.
+    if (block and p.digit_limbs == 1 and ck.bsk_band is not None
+            and (PREFER_BLOCK_ROTATION or ck.bsk_band_rev is None)):
+        return _bootstrap_core_block_tpu, ck.bsk_band
+    if ck.bsk_band_rev is not None:
+        # transposed per-bit path: the fastest measured layout for
+        # single-limb-digit profiles (ops/pallas_t.py)
+        return _bootstrap_core_t, ck.bsk_band_rev
+    if ck.bsk_band is not None:
+        return _bootstrap_core_tpu, ck.bsk_band
+    return None
+
+
 def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
                key_switch: bool) -> Array:
     p = ck.params
@@ -141,17 +171,15 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
     # tv is (2, N) shared / (..., 2, N) per-ct for plain profiles,
     # (k, 2, N) / (..., k, 2, N) for extended ones.
     tv_shared_ndim = 3 if ext else 2
-    tpu = _use_tpu_path(p) and ck.bsk_band is not None
-    # Block blind rotation needs a block-binary lv0 key (keys.py); the
-    # Pallas block kernel additionally needs int8 digits to fit its
-    # scratch within VMEM — other profiles use the per-bit paths.
+    choice = _tpu_core_choice(ck)
     block = ck.block_binary and p.block_size > 1 and not ext
-    if not tpu:
+    if choice is None:
         if ext:
             return _bootstrap_core_ext(p, key_switch, ck.bsk_kernel, ck.ksk,
                                        ct, tv)
         core = _bootstrap_core_block if block else _bootstrap_core
         return core(p, key_switch, ck.bsk_kernel, ck.ksk, ct, tv)
+    tpu_core, bsk_op = choice
 
     # Pallas path: flatten leading batch dims and pad to the batch tile.
     lead = ct.shape[:-1]
@@ -169,19 +197,6 @@ def _bootstrap(ck: CloudKey, ct: Array, testvec: Array | None,
         if tv.ndim > tv_shared_ndim:
             tv = jnp.concatenate(
                 [tv, jnp.zeros((pad,) + tv_shape, tv.dtype)], axis=0)
-    if ext and ck.bsk_band_rev is not None and pallas_t.ext_t_fits(p):
-        tpu_core, bsk_op = _bootstrap_core_ext_t, ck.bsk_band_rev
-    elif ext:
-        tpu_core, bsk_op = _bootstrap_core_ext_tpu, ck.bsk_band
-    elif (block and p.digit_limbs == 1
-          and (PREFER_BLOCK_ROTATION or ck.bsk_band_rev is None)):
-        tpu_core, bsk_op = _bootstrap_core_block_tpu, ck.bsk_band
-    elif ck.bsk_band_rev is not None:
-        # transposed per-bit path: the fastest measured layout for
-        # single-limb-digit profiles (ops/pallas_t.py)
-        tpu_core, bsk_op = _bootstrap_core_t, ck.bsk_band_rev
-    else:
-        tpu_core, bsk_op = _bootstrap_core_tpu, ck.bsk_band
     out = tpu_core(p, key_switch, bsk_op, ck.ksk, ct2, tv)
     if pad:
         out = out[:b]

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Optional
 
 import jax
@@ -175,24 +176,76 @@ def _maybe_band_rev(bsk: Array, p: TFHEParams) -> Optional[Array]:
     return None
 
 
-def gen_cloud_key(rng: Array, sk: SecretKey, p: TFHEParams) -> CloudKey:
-    """cloudkey/cloudkey.go:24-31 (DecompositionOffset lives in params)."""
+def _band_selection(p: TFHEParams, block_binary: bool,
+                    bands: str) -> tuple[bool, bool]:
+    """Which limb-packed band layouts to materialize: (row_major, reversed).
+
+    ``bands='auto'`` builds only what the engine's dispatch
+    (engine._bootstrap) can actually reach for this (profile, key) pair —
+    each band is ~100 MB at the production profiles, so building both
+    unconditionally doubles CloudKey memory for nothing.  ``bands='all'``
+    keeps both (kernel cross-check tests, bench variants)."""
+    if p.n % 256 != 0:
+        return False, False
+    if bands == "all":
+        return True, True
+    assert bands == "auto", bands
+    from .ops.pallas_t import ext_t_fits   # local: avoid import cycle at load
+    if p.poly_extend_factor > 1:
+        # extended dispatch: transposed kernel when it fits VMEM, else
+        # the row-major big-accumulator kernel — never both.
+        fits = ext_t_fits(p)
+        return not fits, fits
+    # per-bit profiles default to the transposed path; the row-major band
+    # only feeds the opt-in block-rotation kernel (engine.PREFER_BLOCK_ROTATION)
+    row = block_binary and p.block_size > 1 and p.digits_fit_int8
+    return row, True
+
+
+def _warn_marginal_profile(p: TFHEParams) -> None:
+    """The floor-gadget extended profiles Uint7/Uint8 are measurably
+    unreliable (EXT_r04.json: 73.8% PBS accuracy at uint7; uint8 cannot
+    decode at all — the reference never ran them, params/UINT_STATUS.md).
+    Warn at keygen so a user selecting get_params('uint7'/'uint8') gets a
+    runtime signal pointing at the accurate *_centered variants."""
+    if (p.poly_extend_factor > 1 and not p.centered_decomposition
+            and p.message_modulus >= 128):
+        warnings.warn(
+            f"profile {p.name!r} uses the reference's floor gadget offset, "
+            f"whose bias random-walk exceeds the message-space tolerance at "
+            f"messageModulus={p.message_modulus} (measured: uint7 73.8% PBS "
+            f"accuracy, uint8 undecodable — EXT_r04.json).  Use "
+            f"get_params('{p.name}_centered') for the 100%-accurate "
+            f"centered-gadget variant (same crypto parameters).",
+            stacklevel=3)
+
+
+def gen_cloud_key(rng: Array, sk: SecretKey, p: TFHEParams,
+                  bands: str = "auto") -> CloudKey:
+    """cloudkey/cloudkey.go:24-31 (DecompositionOffset lives in params).
+
+    ``bands``: 'auto' materializes only the Pallas band layout(s) the
+    engine dispatch can use for this profile/key; 'all' builds both
+    (row-major + reversed) for kernel cross-checks."""
+    _warn_marginal_profile(p)
     k_ksk, k_bsk = jax.random.split(rng)
     bsk = _gen_bsk(k_bsk, p, sk)
+    row, rev = _band_selection(p, sk.block_binary, bands)
     return CloudKey(
         testvec=gen_testvec(p),
         ksk=_gen_ksk(k_ksk, p, sk),
         bsk=bsk,
         bsk_kernel=prepare_bootstrap_kernels(bsk, p),
-        bsk_band=_maybe_band(bsk, p),
-        bsk_band_rev=_maybe_band_rev(bsk, p),
+        bsk_band=_maybe_band(bsk, p) if row else None,
+        bsk_band_rev=_maybe_band_rev(bsk, p) if rev else None,
         params=p,
         block_binary=sk.block_binary,
     )
 
 
 def gen_cloud_key_no_ksk(p: TFHEParams) -> CloudKey:
-    """All-zero dummy keys for tests (cloudkey/cloudkey.go:34-57)."""
+    """All-zero dummy keys for tests (cloudkey/cloudkey.go:34-57).
+    Builds BOTH band layouts (it is a kernel-test fixture)."""
     bsk = jnp.zeros((p.lwe_n, 2 * p.l, 2, p.n), TORUS)
     return CloudKey(
         testvec=gen_testvec(p),
@@ -231,17 +284,19 @@ def save_cloud_key(path: str, ck: CloudKey) -> None:
     )
 
 
-def load_cloud_key(path: str) -> CloudKey:
+def load_cloud_key(path: str, bands: str = "auto") -> CloudKey:
     z = np.load(path)
     p = get_params(str(z["profile"]))
     bsk = jnp.asarray(z["bsk"])
+    block_binary = bool(z.get("block_binary", False))
+    row, rev = _band_selection(p, block_binary, bands)
     return CloudKey(
         testvec=jnp.asarray(z["testvec"]),
         ksk=jnp.asarray(z["ksk"]),
         bsk=bsk,
         bsk_kernel=prepare_bootstrap_kernels(bsk, p),
-        bsk_band=_maybe_band(bsk, p),
-        bsk_band_rev=_maybe_band_rev(bsk, p),
+        bsk_band=_maybe_band(bsk, p) if row else None,
+        bsk_band_rev=_maybe_band_rev(bsk, p) if rev else None,
         params=p,
-        block_binary=bool(z.get("block_binary", False)),
+        block_binary=block_binary,
     )

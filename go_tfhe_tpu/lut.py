@@ -84,7 +84,7 @@ class Generator:
 
     def _build(self, values_torus: np.ndarray) -> Array:
         """values_torus: per-message torus encodings, shape (m,)."""
-        m = self.encoder.message_modulus
+        m = len(values_torus)
         size = self.lut_size
         raw = np.zeros((size,), np.uint32)
         for x in range(m):
@@ -122,13 +122,14 @@ class Generator:
 
     def gen_lut_custom(self, f: Callable[[int], int], message_modulus: int,
                        scale: float) -> Array:
-        """lut/generator.go:143-155."""
-        saved = self.encoder
-        self.encoder = Encoder(message_modulus, scale)
-        try:
-            return self.gen_lut(f)
-        finally:
-            self.encoder = saved
+        """lut/generator.go:143-155.
+
+        Uses a throwaway local Encoder — ``self.encoder`` is never touched,
+        so a shared Generator stays reentrant."""
+        enc = Encoder(message_modulus, scale)
+        vals = np.asarray([enc.encode(f(x)) for x in range(message_modulus)],
+                          np.uint32)
+        return self._build(vals)
 
     def mod_switch(self, x) -> int:
         """Torus -> [0, lut_size) with rounding (lut/generator.go:157-168).

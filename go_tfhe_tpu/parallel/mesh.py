@@ -84,7 +84,12 @@ def sharded_bootstrap_pallas(mesh: Mesh, ck: CloudKey, ct: jax.Array,
     from jax import shard_map
 
     p = ck.params
-    assert ck.bsk_band is not None, "profile not Pallas-eligible"
+    assert p.poly_extend_factor == 1, (
+        "extended profiles are not supported by the sharded Pallas wrapper "
+        "(the (k,2,N) accumulator layout would shard the k axis as batch); "
+        "use sharded_bootstrap, which routes through engine.bootstrap")
+    assert ck.bsk_band is not None or ck.bsk_band_rev is not None, \
+        "profile not Pallas-eligible (no packed band on the CloudKey)"
     assert ct.shape[0] % mesh.devices.size == 0
 
     tv = ck.testvec if testvec is None else testvec

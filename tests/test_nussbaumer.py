@@ -9,9 +9,11 @@ import numpy as np
 import pytest
 
 # The Nussbaumer transform is a measured-negative experimental artifact
-# (go_tfhe_tpu.experimental); its bit-exactness suite is expensive in
-# interpret mode, so it runs with the slow tier only.
-pytestmark = pytest.mark.slow
+# (go_tfhe_tpu.experimental); the large-N bit-exactness cases are expensive
+# on CPU, so they run in the slow tier — but the cheap small-N cases below
+# stay in the default tier so the suite keeps a CI representative
+# (ADVICE r4: a fully demoted suite silently loses coverage).
+_sl = [pytest.mark.slow]
 
 from go_tfhe_tpu.experimental.nussbaumer import (extprod_nuss_ref, forward,
                                         inverse_unnormalized,
@@ -29,7 +31,9 @@ def test_nuss_shape():
     assert nuss_shape(128) == (16, 8, 1)
 
 
-@pytest.mark.parametrize("n", [64, 128, 512, 1024])
+@pytest.mark.parametrize(
+    "n", [64, pytest.param(128, marks=_sl), pytest.param(512, marks=_sl),
+          pytest.param(1024, marks=_sl)])
 def test_forward_inverse_roundtrip(n):
     """inverse'(forward(a)) == m * a  (mod 2^32)."""
     m, _, _ = nuss_shape(n)
@@ -42,7 +46,8 @@ def test_forward_inverse_roundtrip(n):
         np.asarray(to_unsigned(a * jnp.int32(m))))
 
 
-@pytest.mark.parametrize("n", [64, 128, 1024])
+@pytest.mark.parametrize(
+    "n", [64, pytest.param(128, marks=_sl), pytest.param(1024, marks=_sl)])
 def test_single_mul_matches_dense(n):
     m, _, _ = nuss_shape(n)
     rng = np.random.default_rng(2)
@@ -56,7 +61,9 @@ def test_single_mul_matches_dense(n):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("n,l2", [(128, 4), (1024, 4), (512, 2)])
+@pytest.mark.parametrize(
+    "n,l2", [(128, 4), pytest.param(1024, 4, marks=_sl),
+             pytest.param(512, 2, marks=_sl)])
 def test_extprod_matches_dense(n, l2):
     rng = np.random.default_rng(3)
     bsk = jnp.asarray((rng.integers(0, 1 << 24, (l2, 2, n), np.int64) << 8)

@@ -81,7 +81,7 @@ def test_blind_rotate_extended_tpu_matches_portable(p):
     rotate bit-exactly (both are exact integer paths)."""
     k1, k2 = jax.random.split(jax.random.PRNGKey(5))
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     assert ck.bsk_band is not None
     b = 8
     ct = jnp.asarray(RNG.integers(
@@ -101,7 +101,7 @@ def test_extended_pbs_end_to_end_interpret():
     m = p.message_modulus
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     msgs = np.arange(8) % m
     ct = cipher.lwe_encrypt_message(k3, msgs, m, p.lwe_alpha, sk.lv0)
     lut_blocks = lut.Generator(p, m).gen_lut(lambda x: (x + 1) % m)
@@ -122,7 +122,7 @@ def test_blind_rotate_extended_t_matches_portable(p):
     from go_tfhe_tpu.ops.blindrotate import blind_rotate_extended_t
     k1, k2 = jax.random.split(jax.random.PRNGKey(23))
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     assert ck.bsk_band_rev is not None
     b = 8
     ct = jnp.asarray(RNG.integers(

@@ -186,7 +186,7 @@ def test_blind_rotate_tpu_matches_portable():
     p = TEST_PALLAS
     k1, k2 = jax.random.split(jax.random.PRNGKey(3))
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     assert ck.bsk_band is not None
     b = 8
     ct = jnp.asarray(RNG.integers(
@@ -209,7 +209,7 @@ def test_blind_rotate_fast_path_exact_drop():
                                  kernel_limb_drop=1)
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(9), 4)
     sk = tfhe.gen_secret_key(k1, p_grid)
-    ck_ex = tfhe.gen_cloud_key(k2, sk, p_grid)
+    ck_ex = tfhe.gen_cloud_key(k2, sk, p_grid, bands="all")
     # on-grid BSK: every coefficient is a multiple of 2^8
     assert (np.asarray(ck_ex.bsk) % 256 == 0).all()
     ck_fast = dataclasses.replace(ck_ex, params=p_fast)
@@ -246,7 +246,7 @@ def test_blind_rotate_block_tpu_matches_portable():
     p = TEST_PALLAS_BLOCK
     k1, k2 = jax.random.split(jax.random.PRNGKey(5))
     sk = tfhe.gen_secret_key(k1, p, block_binary=True)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     assert ck.bsk_band is not None
     b = 8
     ct = jnp.asarray(RNG.integers(
@@ -277,7 +277,7 @@ def test_blind_rotate_tpu_bg8_gadget_matches_portable():
     p = TEST_PALLAS_BG8
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(21), 4)
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     ct = jnp.asarray(RNG.integers(
         0, 2 ** 32, size=(8, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
     ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
@@ -335,7 +335,7 @@ def test_blind_rotate_t_matches_portable():
     p = TEST_PALLAS
     k1, k2 = jax.random.split(jax.random.PRNGKey(11))
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     assert ck.bsk_band_rev is not None
     b = 8
     ct = jnp.asarray(RNG.integers(
@@ -355,7 +355,7 @@ def test_blind_rotate_t_bg8_drop_matches_row_major():
                             centered_decomposition=True)
     k1, k2 = jax.random.split(jax.random.PRNGKey(13))
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     b = 8
     ct = jnp.asarray(RNG.integers(
         0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
@@ -376,7 +376,7 @@ def test_blind_rotate_t_multilimb_matches_portable():
         message_modulus=8)
     k1, k2 = jax.random.split(jax.random.PRNGKey(17))
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     assert ck.bsk_band_rev is not None
     b = 8
     ct = jnp.asarray(RNG.integers(

@@ -83,7 +83,7 @@ def test_fused_blind_rotate_matches_portable():
     p = dataclasses.replace(BASE, name="test_step_e2e", lwe_n=8)
     k1, k2 = jax.random.split(jax.random.PRNGKey(3))
     sk = tfhe.gen_secret_key(k1, p)
-    ck = tfhe.gen_cloud_key(k2, sk, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
     ct = jnp.asarray(RNG.integers(
         0, 2 ** 32, size=(8, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
     ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))

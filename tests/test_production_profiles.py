@@ -96,6 +96,15 @@ def _pbs_sweep(p, messages):
     np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_pbs_uint1():
+    """Uint1 (N=1024, n=700, BGBIT=10, l=2): full 2-message domain, 3
+    functions.  BGBIT=10 makes half_bg=512 — the smallest profile whose
+    gadget digits do NOT fit int8, exercising the nd=2 limb split
+    (params.digit_limbs) end-to-end (~2 min on 2-core CPU).  The reference
+    tests Uint1-5 (params/uint_params_test.go:17-127)."""
+    _pbs_sweep(tfhe.UINT1, range(2))
+
+
 def test_pbs_uint2():
     """Uint2 (N=512, n=687, BGBIT=18): full 4-message domain, 3 functions
     (~1.5 min on 2-core CPU)."""
@@ -106,6 +115,13 @@ def test_pbs_uint3():
     """Uint3 (N=1024, n=820, BGBIT=23): 4-message sample, 3 functions
     (~3 min on 2-core CPU)."""
     _pbs_sweep(tfhe.UINT3, [0, 3, 5, 7])
+
+
+def test_pbs_uint4():
+    """Uint4 (N=2048, n=820, BGBIT=22, basebit=5): 4-message sample, 3
+    functions (~6 min on 2-core CPU) — closes the Uint1-5 sweep the
+    reference covers (params/uint_params_test.go:17-127)."""
+    _pbs_sweep(tfhe.UINT4, [0, 6, 11, 15])
 
 
 def test_pbs_uint5():
@@ -154,13 +170,46 @@ def test_pbs_uint6_centered():
     _pbs_sweep_small(tfhe.get_params("uint6_centered"), [7, 52])
 
 
-def test_pbs_uint7_extended():
+def test_pbs_uint7_centered():
     """Uint7 (N=2048, n=1160, polyExtendFactor=4 -> LUT size 8192)
-    end-to-end (~30 min on 2-core CPU; ~2 min on TPU).  NOTE: the floor
-    parity profile is marginal at this width (73.8% PBS accuracy at batch
-    2048, EXT_r04.json) — a 2-message sweep usually passes; uint7_centered
-    is the 100%-accurate variant."""
+    end-to-end with the centered gadget — the 100%-accurate variant
+    (EXT_r04.json; ~30 min on 2-core CPU; ~2 min on TPU)."""
     _pbs_sweep_small(tfhe.get_params("uint7_centered"), [0, 99])
+
+
+def test_pbs_uint7_floor():
+    """The reference-parity FLOOR-gadget Uint7 profile, under its own name.
+
+    This profile is measurably MARGINAL: the floor offset's deterministic
+    bias random-walks to ~2^23.3 of phase error against the 2^24
+    half-segment tolerance — 73.8% per-ciphertext PBS accuracy at batch
+    2048 (EXT_r04.json; the reference advertises but never ran Uint7,
+    params/UINT_STATUS.md).  The test therefore asserts a MAJORITY-correct
+    sweep (>= 5/8 over 8 runs), not exactness — it exists to keep the
+    documented marginality measured, and keygen emits the user-facing
+    warning (keys.py _warn_marginal_profile) which we assert fires."""
+    import warnings as _w
+
+    p = tfhe.get_params("uint7")
+    m = p.message_modulus
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    sk = tfhe.gen_secret_key(k1, p)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ck = tfhe.gen_cloud_key(k2, sk, p)
+    assert any("floor gadget" in str(r.message) for r in rec)
+    gen = lut.Generator(p)
+    msgs = [0, 19, 64, 99, 5, 77, 33, 120]
+    cts = jnp.stack([
+        cipher.lwe_encrypt_message(jax.random.fold_in(k3, i), msg, m,
+                                   p.lwe_alpha, sk.lv0)
+        for i, msg in enumerate(msgs)])
+    out = lut.bootstrap_lut(ck, cts, gen.gen_lut(lambda x: x))
+    got = np.asarray(cipher.lwe_decrypt_message(out, m, sk.lv0))
+    correct = int((got == np.asarray(msgs)).sum())
+    # 73.8% measured accuracy => P(<5 of 8) ~ 4%; 5/8 keeps flake rate low
+    # while still failing hard if the profile regresses to noise (1/m each).
+    assert correct >= 5, (correct, got.tolist(), msgs)
 
 
 def test_pbs_uint8_extended():

@@ -40,7 +40,7 @@ P_PALLAS = TFHEParams(
 def pallas_keys():
     k1, k2 = jax.random.split(jax.random.PRNGKey(17))
     sk = tfhe.gen_secret_key(k1, P_PALLAS)
-    ck = tfhe.gen_cloud_key(k2, sk, P_PALLAS)
+    ck = tfhe.gen_cloud_key(k2, sk, P_PALLAS, bands="all")
     assert ck.bsk_band is not None
     return sk, ck
 
