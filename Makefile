@@ -43,5 +43,12 @@ warm:            ## pre-populate the persistent XLA compilation cache for the
 	         ## takes minutes; afterwards every process start is seconds)
 	$(PY) tools/warm_cache.py
 
+CACHE_TARBALL ?= go_tfhe_tpu_xla_cache.tar.gz
+warm-pack:       ## warm, then pack the cache into a relocatable artifact
+	$(PY) tools/warm_cache.py --pack $(CACHE_TARBALL)
+
+warm-unpack:     ## install a packed cache artifact on a fresh host
+	$(PY) tools/warm_cache.py --unpack $(CACHE_TARBALL)
+
 security:        ## regenerate the SECURITY.md estimate table
 	$(PY) tools/security_estimate.py

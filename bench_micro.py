@@ -76,7 +76,8 @@ def main() -> None:
     t0 = time.perf_counter()
     sk = tfhe.gen_secret_key(keys[0], p)
     _ = np.asarray(sk.lv0)[:1]
-    emit(f"keygen_secret_{p.name}_cold", time.perf_counter() - t0)
+    sk_cold = time.perf_counter() - t0
+    emit(f"keygen_secret_{p.name}_cold", sk_cold)
     emit(f"keygen_secret_{p.name}",
          timed(lambda: tfhe.gen_secret_key(keys[0], p).lv0))
 
@@ -117,6 +118,14 @@ def main() -> None:
     dt = timed(lambda: engine.bootstrap(ck, engine.prepare_and(ct, ct_b)))
     emit(f"gate_bootstrap_{p.name}_first_batch", first_batch)
     emit(f"gate_bootstrap_{p.name}_compile_overhead", first_batch - dt)
+    # Fresh-process SLA (README "Deployment"): process start -> first
+    # decrypted batch = secret keygen + cloud keygen + first bootstrap,
+    # all cold in THIS process.  With the persistent compilation cache
+    # warm (make warm, or an unpacked cache artifact: make warm-pack /
+    # warm-unpack) this stays under 60 s on a v5e; with an empty cache it
+    # is minutes of XLA compilation.
+    emit(f"time_to_first_batch_{p.name}", sk_cold + cold + first_batch,
+         unit="ms (fresh process)")
     emit(f"gate_bootstrap_{p.name}_batch{batch}", dt)
     emit(f"gate_bootstrap_{p.name}_per_ct", dt, batch)
 

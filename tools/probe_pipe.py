@@ -12,8 +12,13 @@ If Mosaic overlaps the independent chains, pipe ~ 2 * max(dot/2, rot/2)
 ~ 560 us/step -> ~10.4k bootstraps/s rotate-only.  If it serializes, pipe
 ~ baseline (the fifth negative result; see PERF_ANALYSIS.md).
 
-Usage: python tools/probe_pipe.py [--batch N] [--steps N]
+Timing is DIFFERENTIAL (the axon tunnel adds ~100+ ms of fixed dispatch
+cost per call chain): each config runs at two static step counts and the
+per-step cost is (t_hi - t_lo) / (steps_hi - steps_lo).
+
+Usage: python tools/probe_pipe.py [--batch N] [--steps LO,HI]
 """
+import dataclasses
 import sys
 import time
 
@@ -30,47 +35,53 @@ from go_tfhe_tpu.utils.backend import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 B = 4096
+S_LO, S_HI = 60, 360
 for i, a in enumerate(sys.argv):
     if a == "--batch":
         B = int(sys.argv[i + 1])
-
-p = tfhe.get_params("128bit_fast")
-STEPS = p.lwe_n
-for i, a in enumerate(sys.argv):
     if a == "--steps":
-        import dataclasses
-        STEPS = int(sys.argv[i + 1])
-        p = dataclasses.replace(p, lwe_n=STEPS)
+        S_LO, S_HI = map(int, sys.argv[i + 1].split(","))
 
-k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-sk = tfhe.gen_secret_key(k1, p)
-ck = tfhe.gen_cloud_key(k2, sk, p, bands="all")
+P_FULL = tfhe.get_params("128bit_fast")
+P_LO = dataclasses.replace(P_FULL, lwe_n=S_LO)
+P_HI = dataclasses.replace(P_FULL, lwe_n=S_HI)
+
+k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+sk = tfhe.gen_secret_key(k1, P_FULL)
+ck = tfhe.gen_cloud_key(k2, sk, P_FULL, bands="all")   # covers both prefixes
 rng = np.random.default_rng(0)
-ct = jnp.asarray(rng.integers(0, 1 << 32, size=(B, p.lwe_n + 1),
+ct = jnp.asarray(rng.integers(0, 1 << 32, size=(B, P_FULL.lwe_n + 1),
                               dtype=np.uint64).astype(np.uint32))
 
 
-def timed(name, fn, *args, reps=3, **kw):
-    out = fn(p, *args, **kw)
-    ref = np.asarray(out[:1, :1, :1])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(p, *args, **kw)
+def run(fn, p, **kw):
+    """One timed call at profile p (3-rep steady state after warm-up)."""
+    out = fn(p, ck.bsk_band_rev, ct, ck.testvec, **kw)
     _ = np.asarray(out[:1, :1, :1])
-    dt = (time.perf_counter() - t0) / reps
-    us_step = dt / STEPS * 1e6
-    print(f"{name:10s} {dt*1e3:8.1f} ms  {us_step:7.1f} us/step  "
-          f"{B/dt:8.0f} ct/s (rotate-only)", flush=True)
-    return out, dt
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = fn(p, ck.bsk_band_rev, ct, ck.testvec, **kw)
+    _ = np.asarray(out[:1, :1, :1])
+    return (time.perf_counter() - t0) / 3, out
 
 
-base, dt_base = timed("baseline", blind_rotate_t, ck.bsk_band_rev, ct,
-                      ck.testvec)
-pipe, dt_pipe = timed("pipe", blind_rotate_pipe, ck.bsk_band_rev, ct,
-                      ck.testvec)
+def timed(name, fn, **kw):
+    t_lo, _ = run(fn, P_LO, **kw)
+    t_hi, out = run(fn, P_HI, **kw)
+    us_step = (t_hi - t_lo) / (S_HI - S_LO) * 1e6
+    full = us_step * P_FULL.lwe_n                       # extrapolated 700
+    print(f"{name:10s} lo {t_lo*1e3:7.1f} ms  hi {t_hi*1e3:7.1f} ms  "
+          f"{us_step:7.1f} us/step  {B/(full/1e6):8.0f} ct/s "
+          f"(rotate-only, 700-step extrapolation)", flush=True)
+    return us_step, out
+
+
+us_base, base = timed("baseline", blind_rotate_t)
+us_pipe, pipe = timed("pipe", blind_rotate_pipe)
 np.testing.assert_array_equal(np.asarray(pipe), np.asarray(base))
-print("pipe == baseline bit-exact")
-pipe_rf, dt_rf = timed("pipe_rf", blind_rotate_pipe, ck.bsk_band_rev, ct,
-                       ck.testvec, rot_first=True)
+print("pipe == baseline bit-exact (at the hi step count)")
+us_rf, pipe_rf = timed("pipe_rf", blind_rotate_pipe, rot_first=True)
 np.testing.assert_array_equal(np.asarray(pipe_rf), np.asarray(base))
-print(f"speedup: pipe {dt_base/dt_pipe:.3f}x  pipe_rf {dt_base/dt_rf:.3f}x")
+print(f"per-step: baseline {us_base:.1f}  pipe {us_pipe:.1f} "
+      f"({us_base/us_pipe:.3f}x)  pipe_rf {us_rf:.1f} "
+      f"({us_base/us_rf:.3f}x)")

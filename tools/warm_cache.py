@@ -14,6 +14,7 @@ Usage: python tools/warm_cache.py [--profiles 128bit_fast,128bit]
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -46,12 +47,34 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--profiles", default="128bit_fast,128bit")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--pack", metavar="TARBALL", default=None,
+                    help="after warming, pack the cache dir into a "
+                         "relocatable .tar.gz deployment artifact")
+    ap.add_argument("--unpack", metavar="TARBALL", default=None,
+                    help="extract a previously packed cache artifact into "
+                         "the cache dir and exit (no warming; the target "
+                         "host must run the same chip generation + "
+                         "jax/libtpu build, or entries simply miss)")
     args = ap.parse_args()
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    if args.unpack:
+        import tarfile
+        with tarfile.open(args.unpack) as tf:
+            tf.extractall(cache_dir, filter="data")
+        print(f"unpacked {args.unpack} -> {cache_dir} "
+              f"({len(os.listdir(cache_dir))} entries)")
+        return
     on_tpu = jax.default_backend() == "tpu"
     batch = args.batch or (4096 if on_tpu else 16)
     for name in args.profiles.split(","):
         warm(name.strip(), batch)
+    if args.pack:
+        import tarfile
+        with tarfile.open(args.pack, "w:gz") as tf:
+            for entry in sorted(os.listdir(cache_dir)):
+                tf.add(os.path.join(cache_dir, entry), arcname=entry)
+        size = os.path.getsize(args.pack) / 1e6
+        print(f"packed {cache_dir} -> {args.pack} ({size:.1f} MB)")
 
 
 if __name__ == "__main__":
