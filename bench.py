@@ -67,6 +67,10 @@ def main() -> None:
         # measure the fused block-rotation kernel itself (the engine's
         # default for block keys is the faster transposed per-bit path)
         engine.PREFER_BLOCK_ROTATION = True
+    if "--pipe" in sys.argv:
+        # measure the half-batch pipelined kernel (the round-5 overlap
+        # probe; slower than the two-kernel default, PERF_ANALYSIS.md)
+        engine.PREFER_PIPE = True
 
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
     t_key0 = time.perf_counter()
@@ -162,7 +166,9 @@ def main() -> None:
         "vs_baseline": round(value / REFERENCE_BOOTSTRAPS_PER_SEC, 2),
         "profile": p.name,
         "key_distribution": "block_binary" if block else "uniform_binary",
-        "rotation": "block" if block else "per_bit",
+        "rotation": ("block" if block else
+                     "per_bit_pipelined" if engine.PREFER_PIPE
+                     else "per_bit"),
         "gadget": f"bgbit={p.bgbit},l={p.l}",
         "kernel_limbs": 4 - p.kernel_limb_drop,
         "batch": batch,

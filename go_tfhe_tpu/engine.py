@@ -23,6 +23,7 @@ from .ops.blindrotate import (blind_rotate, blind_rotate_block,
                               blind_rotate_extended_tpu, blind_rotate_t,
                               blind_rotate_tpu)
 from .ops import pallas_t
+from .ops.pallas_pipe import blind_rotate_pipe
 from .ops.keyswitch import identity_key_switch
 from .ops.sample_extract import sample_extract
 from .params import TFHEParams
@@ -42,6 +43,18 @@ _TPU_BATCH_TILE = 256
 # The kernel stays fully tested and available (blind_rotate_block_tpu);
 # bench.py --block sets this True to keep measuring it.
 PREFER_BLOCK_ROTATION = False
+
+# Use the HALF-BATCH PIPELINED step (ops/pallas_pipe.py) instead of the
+# two-kernel transposed composition.  OFF: this was the round-5 VPU/MXU
+# overlap probe — dependence-free half-batch pipelining in one cell body —
+# and it measured SLOWER than the two-kernel path (740.6 vs 690.0 us/step
+# jitted-core differential, tools/probe_pipe3.py; statement-interleaved
+# variant 719.2), the FIFTH serialization result: Mosaic/v5e does not
+# co-issue VPU rotation under MXU dots even with zero data dependence
+# (PERF_ANALYSIS.md round-5 section; only ~21 us of 194 overlaps when
+# statements are interleaved in source order).  bench.py --pipe measures
+# the kernel; it stays bit-exact and fully tested (test_pallas_pipe.py).
+PREFER_PIPE = False
 
 # Affine-preparation bias constants (evaluator/gates_helper.go, gates/gates.go).
 _T_EIGHTH = int(f64_to_torus(0.125))
@@ -107,9 +120,23 @@ def _bootstrap_core_tpu(p: TFHEParams, key_switch: bool, bsk_band: Array,
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _bootstrap_core_t(p: TFHEParams, key_switch: bool, bsk_band_rev: Array,
                       ksk: Array, ct: Array, testvec: Array) -> Array:
-    """Pallas fast path, TRANSPOSED layout (ops/pallas_t.py) — the default
-    for single-limb-digit profiles; bit-exact with _bootstrap_core_tpu."""
+    """Pallas fast path, TRANSPOSED layout (ops/pallas_t.py); bit-exact
+    with _bootstrap_core_tpu."""
     rotated = blind_rotate_t(p, bsk_band_rev, ct, testvec)
+    lv1 = sample_extract(rotated, 0)
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bootstrap_core_pipe(p: TFHEParams, key_switch: bool,
+                         bsk_band_rev: Array, ksk: Array, ct: Array,
+                         testvec: Array) -> Array:
+    """HALF-BATCH PIPELINED fast path (ops/pallas_pipe.py) — the round-5
+    default for single-limb-digit profiles: the VPU rotation of one batch
+    half hides under the MXU contraction of the other.  Bit-exact with
+    _bootstrap_core_t (tests/test_pallas_pipe.py)."""
+    rotated = blind_rotate_pipe(p, bsk_band_rev, ct, testvec,
+                                rot_first=True)
     lv1 = sample_extract(rotated, 0)
     return identity_key_switch(p, ksk, lv1) if key_switch else lv1
 
@@ -155,8 +182,11 @@ def _tpu_core_choice(ck: CloudKey):
             and (PREFER_BLOCK_ROTATION or ck.bsk_band_rev is None)):
         return _bootstrap_core_block_tpu, ck.bsk_band
     if ck.bsk_band_rev is not None:
-        # transposed per-bit path: the fastest measured layout for
-        # single-limb-digit profiles (ops/pallas_t.py)
+        if PREFER_PIPE and p.digit_limbs == 1:
+            # half-batch pipelined path: the fastest measured composition
+            # (576 vs 729 us/step at 128bit_fast, tools/probe_pipe.py)
+            return _bootstrap_core_pipe, ck.bsk_band_rev
+        # transposed per-bit two-kernel path (ops/pallas_t.py)
         return _bootstrap_core_t, ck.bsk_band_rev
     if ck.bsk_band is not None:
         return _bootstrap_core_tpu, ck.bsk_band

@@ -20,11 +20,21 @@ alternates halves, one half-step out of phase:
     call 2i  : dot(A, step i)   + rot(B, step i)
     call 2i+1: dot(B, step i)   + rot(A, step i+1)
 
-If Mosaic co-issues the independent VPU chain under the MXU dots, a full
-step costs 2 * max(dot(B/2), rot(B/2)) ~ dot(B) and the 128-bit profile
-reaches ~10.5k bootstraps/s on the v5e (see PERF_ANALYSIS.md).  If it
-still serializes, this is the fifth — and strongest — negative result:
-no data dependence whatsoever forces the ordering.
+If Mosaic co-issued the independent VPU chain under the MXU dots, a full
+step would cost 2 * max(dot(B/2), rot(B/2)) ~ dot(B) and the 128-bit
+profile would reach ~10.5k bootstraps/s on the v5e.
+
+MEASURED RESULT (round 5, tools/probe_pipe3.py, jitted-core step
+differential — the only harness where both points are device-bound):
+it still serializes.  740.6 us/step vs the two-kernel baseline's 690.0;
+the statement-interleaved variant (``interleave=True``, rotation-round
+chunks emitted between the dot limbs) recovers only ~21 us of the ~194 us
+VPU chain (719.2 us/step) and the halved Toeplitz-build amortization
+(+~25 us/call) eats the rest.  This is the FIFTH and strongest
+serialization result: no data dependence whatsoever forces the ordering,
+yet the units do not overlap (full analysis: PERF_ANALYSIS.md).  The
+kernel stays available (engine.PREFER_PIPE / bench.py --pipe) as the
+restart point if a Mosaic release starts co-scheduling.
 
 Bit-exact with blind_rotate / blind_rotate_t (tests/test_pallas_pipe.py);
 single-limb-digit profiles (half_bg <= 128) with N a multiple of 256.
@@ -55,7 +65,7 @@ INTERPRET = False
 def _pipe_kernel(dx_ref, band_ref, accx_ref, accy_ref, amty_ref,
                  outx_ref, digy_ref, t_scratch, *, n: int, nbits: int,
                  l: int, bgbit: int, offset: int, tj: int, lo: int,
-                 rot_first: bool):
+                 rot_first: bool, interleave: bool):
     """One grid cell (c, bt): contract half-X digits for channel c, batch
     tile bt, AND rotate+decompose channel c of half Y's tile bt.
 
@@ -92,12 +102,8 @@ def _pipe_kernel(dx_ref, band_ref, accx_ref, accy_ref, amty_ref,
                               pl.ds(r * n + jt * tj, tj)] = limb.astype(
                                   jnp.int8)
 
-    def _rotate():
-        sub = jax.lax.broadcasted_iota(jnp.int32, accy_ref.shape[1:], 0)
-        x0 = accy_ref[0]                               # (N, TB) int32
-        a = amty_ref[0:1, :]                           # (1, TB)
-        x = x0
-        for b in range(nbits):
+    def _rot_rounds(x, a, sub, rounds):
+        for b in rounds:
             s = 1 << b
             if s < n:
                 rolled = pltpu.roll(x, shift=s, axis=0)
@@ -105,26 +111,57 @@ def _pipe_kernel(dx_ref, band_ref, accx_ref, accy_ref, amty_ref,
             else:                                      # X^N == -1
                 rolled = ~x
             x = jnp.where(((a >> b) & 1) > 0, rolled, x)
+        return x
+
+    def _rot_finish(x, x0):
         tmp = (x - x0) + jnp.int32(offset)             # wraps mod 2^32
         for lv in range(l):
             sh = 32 - (lv + 1) * bgbit
             d = ((tmp >> sh) & mask) - half_bg
             digy_ref[pl.ds(lv * n, n), :] = d.astype(jnp.int8)
 
+    def _rotate():
+        sub = jax.lax.broadcasted_iota(jnp.int32, accy_ref.shape[1:], 0)
+        x0 = accy_ref[0]                               # (N, TB) int32
+        a = amty_ref[0:1, :]                           # (1, TB)
+        _rot_finish(_rot_rounds(x0, a, sub, range(nbits)), x0)
+
+    def _dot(lm):
+        part = jax.lax.dot_general(
+            t_scratch[pl.ds(lm * n, n), :], dx_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        term = part.astype(jnp.uint32)
+        if lm + lo:
+            term = term << jnp.uint32(8 * (lm + lo))
+        return term
+
     def _contract():
-        dmat = dx_ref[...]                             # (K, TB)
         out = None
         for lm in range(nl):
-            part = jax.lax.dot_general(
-                t_scratch[pl.ds(lm * n, n), :], dmat,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-            term = part.astype(jnp.uint32)
-            if lm + lo:
-                term = term << jnp.uint32(8 * (lm + lo))
+            term = _dot(lm)
             out = term if out is None else out + term
         outx_ref[0, :, :] = out + accx_ref[0, :, :]
 
-    if rot_first:
+    if interleave:
+        # Emit rotation-round chunks BETWEEN the dot limbs in source
+        # order, probing whether Mosaic's scheduler merely keeps source
+        # order (then this overlaps the VPU chunks with MXU latency) or
+        # cannot co-issue the units at all.
+        sub = jax.lax.broadcasted_iota(jnp.int32, accy_ref.shape[1:], 0)
+        x0 = accy_ref[0]
+        a = amty_ref[0:1, :]
+        x = x0
+        out = None
+        bounds = [nbits * (i + 1) // nl for i in range(nl)]
+        start = 0
+        for lm in range(nl):
+            term = _dot(lm)
+            out = term if out is None else out + term
+            x = _rot_rounds(x, a, sub, range(start, bounds[lm]))
+            start = bounds[lm]
+        outx_ref[0, :, :] = out + accx_ref[0, :, :]
+        _rot_finish(x, x0)
+    elif rot_first:
         _rotate()
         _contract()
     else:
@@ -133,10 +170,10 @@ def _pipe_kernel(dx_ref, band_ref, accx_ref, accy_ref, amty_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("tb", "tj", "rot_first"))
+                   static_argnames=("tb", "tj", "rot_first", "interleave"))
 def pipe_step(p: TFHEParams, digits_x: Array, band: Array, acc_x: Array,
               acc_y: Array, amt_y: Array, tb: int = 256, tj: int = 128,
-              rot_first: bool = False):
+              rot_first: bool = False, interleave: bool = False):
     """One pipelined half-step.
 
     digits_x (2L*N, B2) int8; band (2, 2L, 2N+pad) int32 (one LWE bit);
@@ -161,7 +198,7 @@ def pipe_step(p: TFHEParams, digits_x: Array, band: Array, acc_x: Array,
     out_x, dig_y = pl.pallas_call(
         functools.partial(_pipe_kernel, n=n, nbits=n.bit_length(), l=p.l,
                           bgbit=p.bgbit, offset=off, tj=tj, lo=lo,
-                          rot_first=rot_first),
+                          rot_first=rot_first, interleave=interleave),
         grid=grid,
         in_specs=[
             pl.BlockSpec((k2, tb), lambda c, bt: (0, bt),
@@ -198,7 +235,8 @@ def pipe_step(p: TFHEParams, digits_x: Array, band: Array, acc_x: Array,
 
 def blind_rotate_pipe(p: TFHEParams, bsk_band_rev: Array, ct: Array,
                       testvec: Array, tb: int = 256,
-                      rot_first: bool = False) -> Array:
+                      rot_first: bool = False,
+                      interleave: bool = False) -> Array:
     """Blind rotation with half-batch VPU/MXU pipelining.
 
     Same contract as blind_rotate_t (bit-exact); B must be even with
@@ -237,10 +275,10 @@ def blind_rotate_pipe(p: TFHEParams, bsk_band_rev: Array, ct: Array,
         band_i = lax.dynamic_index_in_dim(bsk_band_rev, i, 0, False)
         amt_b_i = lax.dynamic_index_in_dim(amt_b, i, 1, False)
         acc_a, dig_b = pipe_step(p, dig_a, band_i, acc_a, acc_b, amt_b_i,
-                                 tb=tb, rot_first=rot_first)
+                                 tb=tb, rot_first=rot_first, interleave=interleave)
         amt_a_n = lax.dynamic_index_in_dim(amt_a, i + 1, 1, False)
         acc_b, dig_a = pipe_step(p, dig_b, band_i, acc_b, acc_a, amt_a_n,
-                                 tb=tb, rot_first=rot_first)
+                                 tb=tb, rot_first=rot_first, interleave=interleave)
         return acc_a, acc_b, dig_a
 
     acc_a, acc_b, _ = lax.fori_loop(0, n_lwe, body,

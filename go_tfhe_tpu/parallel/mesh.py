@@ -94,11 +94,16 @@ def sharded_bootstrap_pallas(mesh: Mesh, ck: CloudKey, ct: jax.Array,
 
     tv = ck.testvec if testvec is None else testvec
     tv_spec = P() if tv.ndim == 2 else P(axis_name)
-    # Prefer the transposed per-bit core (the engine default for
-    # single-limb-digit profiles, ops/pallas_t.py).
+    # Prefer the engine's default core for the profile: half-batch
+    # pipelined (ops/pallas_pipe.py) > transposed two-kernel > row-major.
     use_t = ck.bsk_band_rev is not None
     band = ck.bsk_band_rev if use_t else ck.bsk_band
-    core = engine._bootstrap_core_t if use_t else engine._bootstrap_core_tpu
+    if use_t and engine.PREFER_PIPE and p.digit_limbs == 1:
+        core = engine._bootstrap_core_pipe
+    elif use_t:
+        core = engine._bootstrap_core_t
+    else:
+        core = engine._bootstrap_core_tpu
 
     def local(bsk_band, ksk, tv_l, ct_l):
         b = ct_l.shape[0]

@@ -32,8 +32,10 @@ TEST_PALLAS = TFHEParams(
 RNG = np.random.default_rng(31)
 
 
-@pytest.mark.parametrize("rot_first", [False, True])
-def test_blind_rotate_pipe_matches_portable(rot_first):
+@pytest.mark.parametrize("rot_first,interleave",
+                         [(False, False), (True, False), (False, True)],
+                         ids=["dot_first", "rot_first", "interleave"])
+def test_blind_rotate_pipe_matches_portable(rot_first, interleave):
     p = TEST_PALLAS
     k1, k2 = jax.random.split(jax.random.PRNGKey(3))
     sk = tfhe.gen_secret_key(k1, p)
@@ -43,7 +45,8 @@ def test_blind_rotate_pipe_matches_portable(rot_first):
         0, 2 ** 32, size=(b, p.lwe_n + 1), dtype=np.uint64).astype(np.uint32))
     ref = np.asarray(blind_rotate(p, ck.bsk_kernel, ct, ck.testvec))
     got = np.asarray(blind_rotate_pipe(p, ck.bsk_band_rev, ct, ck.testvec,
-                                       rot_first=rot_first))
+                                       rot_first=rot_first,
+                                       interleave=interleave))
     np.testing.assert_array_equal(got, ref)
 
 

@@ -13,10 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from go_tfhe_tpu.ops import (pallas_extprod, pallas_rotate,
+from go_tfhe_tpu.ops import (pallas_extprod, pallas_pipe, pallas_rotate,
                              pallas_step, pallas_t)
 
 pallas_extprod.INTERPRET = True
+pallas_pipe.INTERPRET = True
 pallas_rotate.INTERPRET = True
 pallas_step.INTERPRET = True
 pallas_t.INTERPRET = True

@@ -16,6 +16,15 @@ Timing is DIFFERENTIAL (the axon tunnel adds ~100+ ms of fixed dispatch
 cost per call chain): each config runs at two static step counts and the
 per-step cost is (t_hi - t_lo) / (steps_hi - steps_lo).
 
+** METHODOLOGY CAVEAT (round-5 lesson, kept for the record): this EAGER
+harness is invalid at small step counts.  The eager call chain costs
+~150-180 ms of host work per rep which OVERLAPS the asynchronous device
+execution; at 60 steps the device finishes first, so t_lo measures the
+HOST time, and the differential (t_hi - t_lo) subtracts host time from
+device time — under-reporting the pipe kernel at 576 us/step when its
+true cost is 741 (probe_pipe3.py, jitted cores, both points
+device-bound).  Use tools/probe_pipe3.py for valid numbers. **
+
 Usage: python tools/probe_pipe.py [--batch N] [--steps LO,HI]
 """
 import dataclasses
