@@ -208,7 +208,7 @@ def _extprod_t_kernel(d_ref, band_ref, acc_ref, out_ref, t_scratch, *,
                    static_argnames=("tb", "tn", "tj", "limb_mag", "lo",
                                     "nd"))
 def extprod_t(digits: Array, band: Array, acc: Array, limb_mag: int = 128,
-              tb: int = 256, tn: int = 1024, tj: int = 128,
+              tb: int = 256, tn: int = 1024, tj: int | None = None,
               lo: int = 0, nd: int = 1) -> Array:
     """digits (ND*2L*N, B) int8 limb-major; band (2, 2L, 2N+pad) int32
     reversed-packed; acc (2, N, B) uint32.  Returns acc + external
@@ -229,7 +229,13 @@ def extprod_t(digits: Array, band: Array, acc: Array, limb_mag: int = 128,
     nl = NUM_LIMBS - lo
     while tn > 256 and nl * tn * k > 14 << 20:   # VMEM-budget the scratch
         tn //= 2
+    if tj is None:
+        # Full-width build windows: one strided roll per (r, out-tile)
+        # instead of n/128 — measured 669.5 vs 684.7 us/step at the
+        # 128bit_fast bench shapes (tools/sweep_t.py, round 5).
+        tj = tn
     pad = band.shape[-1] - 2 * n
+    assert tj <= tn, (tj, tn)
     assert pad >= tn - tj, (pad, tn, tj)
     grid = (2, n // tn, b // tb)
     return pl.pallas_call(
