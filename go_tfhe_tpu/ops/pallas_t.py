@@ -432,7 +432,7 @@ def _extprod_ext_t_kernel(d_ref, band_ref, acc_ref, out_ref, t_scratch, *,
                                     "lo", "nd"))
 def extprod_ext_t(digits: Array, band: Array, acc: Array, kblocks: int,
                   limb_mag: int = 128, tb: int = 256, tn: int = 1024,
-                  tj: int = 128, lo: int = 0, nd: int = 1) -> Array:
+                  tj: int | None = None, lo: int = 0, nd: int = 1) -> Array:
     """Extended-LUT transposed external product: digits
     (k*ND*2L*N, B) int8 block-major; band (2, 2L, 2N+pad) int32
     reversed-packed; acc (2, k*N, B) uint32.  Returns acc + the
@@ -452,7 +452,10 @@ def extprod_ext_t(digits: Array, band: Array, acc: Array, kblocks: int,
     nl = NUM_LIMBS - lo
     while tn > 256 and nl * tn * k2 > 14 << 20:
         tn //= 2
+    if tj is None:
+        tj = tn          # full-width build windows (see extprod_t)
     pad = band.shape[-1] - 2 * n
+    assert tj <= tn, (tj, tn)
     assert pad >= tn - tj, (pad, tn, tj)
     m = n // tn
     grid = (2, m * kk, b // tb)

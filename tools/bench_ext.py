@@ -69,8 +69,8 @@ def bench_profile(name: str, batch: int, portable_batch: int,
     print(json.dumps({"metric": f"pbs_{name}_per_ct",
                       "value": round(dt * 1e3 / batch, 3), "unit": "ms",
                       "batch": batch,
-                      "path": ("pallas" if engine._use_tpu_path(p)
-                               and ck.bsk_band is not None else "portable")}),
+                      "path": ("pallas" if engine._tpu_core_choice(ck)
+                               is not None else "portable")}),
           flush=True)
 
     if skip_portable:
