@@ -170,3 +170,31 @@ def reencrypt(rk: ProxyReencryptionKey, ct: Array) -> Array:
     """Transform ciphertext(s) to the target key (proxyreenc.go:321-366).
     Supports multi-hop chains by repeated application.  Batched."""
     return _reencrypt_core(rk.table, ct, rk.basebit, rk.t)
+
+
+# ---------------------------------------------------------------------------
+# Serialization (new capability vs. the reference, like keys.save_cloud_key):
+# the proxy role holds ONLY a re-encryption key, so a deployable proxy needs
+# it persistable — asymmetric rekey generation costs seconds (CHANGELOG.md:27).
+# ---------------------------------------------------------------------------
+
+def save_reencryption_key(path: str, rk: ProxyReencryptionKey) -> None:
+    np.savez_compressed(path, table=np.asarray(rk.table),
+                        basebit=np.asarray(rk.basebit),
+                        t=np.asarray(rk.t))
+
+
+def load_reencryption_key(path: str) -> ProxyReencryptionKey:
+    z = np.load(path)
+    return ProxyReencryptionKey(table=jnp.asarray(z["table"]),
+                                basebit=int(z["basebit"]),
+                                t=int(z["t"]))
+
+
+def save_public_key(path: str, pk: PublicKeyLv0) -> None:
+    np.savez_compressed(path, encryptions=np.asarray(pk.encryptions))
+
+
+def load_public_key(path: str) -> PublicKeyLv0:
+    z = np.load(path)
+    return PublicKeyLv0(encryptions=jnp.asarray(z["encryptions"]))

@@ -81,3 +81,28 @@ def test_reencryption_batched_shapes(users):
                                  alice.lv0)
     out = proxyreenc.reencrypt(rk, ct)
     assert out.shape == (2, 3, P.lwe_n + 1)
+
+
+def test_proxy_key_serialization_roundtrip(tmp_path, users):
+    """The proxy role persists ONLY its re-encryption key (new capability
+    vs. the reference, which keeps keys in process memory only); a loaded
+    rekey must re-encrypt identically to the in-memory one."""
+    alice, bob = users[0], users[1]
+    rk = proxyreenc.gen_reencryption_key_symmetric(
+        jax.random.PRNGKey(21), alice.lv0, bob.lv0, P)
+    path = str(tmp_path / "rk.npz")
+    proxyreenc.save_reencryption_key(path, rk)
+    rk2 = proxyreenc.load_reencryption_key(path)
+    assert rk2.basebit == rk.basebit and rk2.t == rk.t
+    bits = np.asarray([True, False, True, True])
+    ct = cipher.lwe_encrypt_bool(jax.random.PRNGKey(22), bits, P.lwe_alpha,
+                                 alice.lv0)
+    np.testing.assert_array_equal(np.asarray(proxyreenc.reencrypt(rk2, ct)),
+                                  np.asarray(proxyreenc.reencrypt(rk, ct)))
+
+    pk = proxyreenc.gen_public_key(jax.random.PRNGKey(23), bob.lv0, P)
+    pkp = str(tmp_path / "pk.npz")
+    proxyreenc.save_public_key(pkp, pk)
+    pk2 = proxyreenc.load_public_key(pkp)
+    np.testing.assert_array_equal(np.asarray(pk2.encryptions),
+                                  np.asarray(pk.encryptions))
