@@ -27,14 +27,14 @@ import go_tfhe_tpu as tfhe
 from go_tfhe_tpu import cipher, engine, lut, proxyreenc
 from go_tfhe_tpu.ops.polymul import negacyclic_mul_binary
 
-RESULTS = []
+from go_tfhe_tpu.utils.metrics import MetricsLogger
+
+_METRICS = MetricsLogger()
 
 
 def emit(metric: str, seconds: float, unit_count: float = 1.0,
          unit: str = "ms") -> None:
-    value = seconds * 1e3 / unit_count
-    RESULTS.append({"metric": metric, "value": round(value, 3), "unit": unit})
-    print(json.dumps(RESULTS[-1]), flush=True)
+    _METRICS.emit_seconds(metric, seconds, unit_count, unit)
 
 
 def _sync(out) -> None:
@@ -212,7 +212,7 @@ def main() -> None:
     dt = timed(proxyreenc.reencrypt, rk, cta)
     emit(f"proxy_reencrypt_{pp.name}_batch{batch}", dt)
 
-    print(json.dumps({"summary": RESULTS}))
+    print(json.dumps({"summary": _METRICS.summary()}))
 
 
 if __name__ == "__main__":

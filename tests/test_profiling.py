@@ -34,3 +34,25 @@ def test_key_memory_usage(fast_keys):
     mem = key_memory_usage(ck)
     assert mem["bsk"] > 0 and mem["ksk"] > 0
     assert mem["total"] == sum(v for k, v in mem.items() if k != "total")
+
+
+def test_metrics_logger(tmp_path):
+    """Library-level metrics emission (utils/metrics.py): JSON lines to a
+    stream and an optional file, records retrievable for summaries."""
+    import io
+    import json as _json
+    from go_tfhe_tpu.utils.metrics import MetricsLogger
+
+    path = str(tmp_path / "m.jsonl")
+    s = io.StringIO()
+    m = MetricsLogger(path=path, stream=s)
+    m.emit("throughput", 8377.0, unit="bootstraps/s", profile="128bit_fast")
+    m.emit_seconds("latency", 0.5, unit_count=4096)
+    m.close()
+    recs = [
+        _json.loads(ln) for ln in open(path).read().strip().splitlines()]
+    assert recs == m.summary()
+    assert recs[0]["metric"] == "throughput"
+    assert recs[0]["profile"] == "128bit_fast"
+    assert recs[1]["value"] == round(0.5 * 1e3 / 4096, 3)
+    assert s.getvalue().count("\n") == 2
