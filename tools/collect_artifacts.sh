@@ -1,14 +1,14 @@
 #!/bin/bash
 # Collect the round's measured-evidence artifacts on the TPU host:
-#   NOISE_r04.json   - production-scale noise margins per shipped profile
-#   MICRO_r04.json   - per-op micro-benchmarks (keygen/enc/dec/PBS/proxy)
-#   BENCH_variants_r04.json - headline bench in --exact / --block configs
+#   NOISE_r05.json   - production-scale noise margins per shipped profile
+#   MICRO_r05.json   - per-op micro-benchmarks (keygen/enc/dec/PBS/proxy)
+#   BENCH_variants_r05.json - headline bench in --exact / --block configs
 # Run each under timeout; the compilation cache makes reruns cheap.
 # stderr goes to per-step logs in /tmp; an empty output file fails the run.
 set -euo pipefail
 set -x
 cd "$(dirname "$0")/.."
-R=${ROUND:-r04}
+R=${ROUND:-r05}
 
 timeout 3000 python tools/noise_margin.py --batch 512 \
   --profiles 128bit_fast,128bit,80bit_fast 2>/tmp/noise_$R.log \
