@@ -239,6 +239,77 @@ def bootstrap(ck: CloudKey, ct: Array, testvec: Array | None = None) -> Array:
     return _bootstrap(ck, ct, testvec, key_switch=True)
 
 
+# ---------------------------------------------------------------------------
+# Multi-LUT bootstrapping (PBSmanyLUT) — beyond-reference capability.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _bootstrap_core_many(p: TFHEParams, key_switch: bool, k: int, theta: int,
+                         bsk_kernel: Array, ksk: Array, ct: Array,
+                         testvec: Array) -> Array:
+    rotated = blind_rotate(p, bsk_kernel, ct, testvec, theta=theta)
+    lv1 = jnp.stack([sample_extract(rotated, t) for t in range(k)])
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _bootstrap_core_many_t(p: TFHEParams, key_switch: bool, k: int,
+                           theta: int, bsk_band_rev: Array, ksk: Array,
+                           ct: Array, testvec: Array) -> Array:
+    rotated = blind_rotate_t(p, bsk_band_rev, ct, testvec, theta=theta)
+    lv1 = jnp.stack([sample_extract(rotated, t) for t in range(k)])
+    return identity_key_switch(p, ksk, lv1) if key_switch else lv1
+
+
+def bootstrap_many(ck: CloudKey, ct: Array, multi_lut: Array, k: int,
+                   theta: int = 1, key_switch: bool = True) -> Array:
+    """k function outputs from ONE blind rotation (PBSmanyLUT).
+
+    The mod switch rounds to multiples of 2^theta (mod_switch_2n), the
+    test vector interleaves the k functions by residue
+    (lut.Generator.gen_multi_lut), and sample extraction at indices
+    0..k-1 reads them out.  The reference has no equivalent — a circuit
+    needing several functions of the same linear combination (e.g. a full
+    adder's sum AND carry bits) pays ONE bootstrap instead of k.
+
+    Noise: the coarse mod switch multiplies the mod-switch ROUNDING term
+    by 2^theta.  Measured end-to-end at 128bit_fast, messageModulus=8,
+    batch 1024 (NOISE_MANY_r05.json, margin = the 2^27 half-segment):
+    theta=0 8.6 sigma -> theta=1 8.2 sigma (0 errors; the rounding term
+    only reaches the other noise sources at this width) -> theta=2
+    2.1 sigma (marginal: 5/1024 wrong).  So k=2 (the full-adder case) is
+    production-safe at m=8; theta=2 needs a smaller message space or a
+    wider-margin profile.  Re-measure (tools/noise_many.py) before using
+    theta > 0 on the floor-gadget reference profiles.
+
+    ct: (..., lwe_n+1); multi_lut: (2, N) shared test vector.
+    Returns (k, ..., lwe_n+1) — output t is f_t of the common phase.
+    """
+    p = ck.params
+    assert p.poly_extend_factor == 1, "many-LUT needs a plain (N) profile"
+    assert 1 <= k <= 1 << theta
+    assert multi_lut.ndim == 2, "bootstrap_many takes a shared (2, N) LUT"
+    choice = _tpu_core_choice(ck)
+    use_t = choice is not None and ck.bsk_band_rev is not None
+    if not use_t:
+        return _bootstrap_core_many(p, key_switch, k, theta, ck.bsk_kernel,
+                                    ck.ksk, ct, multi_lut)
+    lead = ct.shape[:-1]
+    b = 1
+    for d in lead:
+        b *= d
+    ct2 = ct.reshape((b, ct.shape[-1]))
+    pad = (-b) % _TPU_BATCH_TILE
+    if pad:
+        ct2 = jnp.concatenate(
+            [ct2, jnp.zeros((pad, ct.shape[-1]), ct.dtype)], axis=0)
+    out = _bootstrap_core_many_t(p, key_switch, k, theta, ck.bsk_band_rev,
+                                 ck.ksk, ct2, multi_lut)
+    if pad:
+        out = out[:, :b]
+    return out.reshape((k,) + lead + out.shape[2:])
+
+
 def bootstrap_without_key_switch(ck: CloudKey, ct: Array,
                                  testvec: Array | None = None) -> Array:
     """Blind rotate + sample extract only; result is under the level-1 key

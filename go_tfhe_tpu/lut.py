@@ -131,6 +131,62 @@ class Generator:
                           np.uint32)
         return self._build(vals)
 
+    def gen_multi_lut(self, fns, theta: int,
+                      encoders=None) -> Array:
+        """Interleaved multi-function table for PBSmanyLUT
+        (engine.bootstrap_many): ONE coarse blind rotation evaluates up to
+        2^theta functions, read out by sample extraction at indices
+        0..len(fns)-1.
+
+        The blind rotation with a 2^theta-coarse mod switch
+        (ops.blindrotate.mod_switch_2n) always lands on a 2^theta-aligned
+        position r; accumulator coefficient t then reads position r + t of
+        the test vector.  Interleaving the k single-function tables by
+        residue — table[s*2^theta + t] = table_t[s*2^theta] — makes
+        extraction index t return f_t of the COMMON input phase.  Each
+        f_t's geometry (region fill, half-segment rotation, negacyclic
+        tail) is inherited from its own complete single-LUT table, so the
+        anti-periodicity the extraction sign-flip relies on is preserved
+        position-wise.
+
+        Beyond-reference capability (the reference has no many-LUT); the
+        mechanism requires the single-LUT half-segment rotation offset to
+        be 2^theta-aligned (asserted) and costs 2^theta x the mod-switch
+        rounding noise.  ``encoders``: optional per-function Encoder list
+        (e.g. different output scales); defaults to ``self.encoder``.
+
+        fns: k <= 2^theta functions message -> message.
+        Returns a (2, N) trivial TRLWE test vector.
+        """
+        k = len(fns)
+        assert 1 <= k <= (1 << theta), (k, theta)
+        assert self.extend_factor == 1, \
+            "many-LUT is not supported on extended (k*N) profiles"
+        n = self.poly_degree
+        m = self.encoder.message_modulus
+        offset = _div_round(n, 2 * m)
+        assert offset % (1 << theta) == 0, (
+            f"half-segment rotation {offset} not 2^{theta}-aligned; "
+            f"need (N/(2m)) % 2^theta == 0")
+        encs = [self.encoder] * k if encoders is None else list(encoders)
+        assert len(encs) == k
+        tables = []
+        for f, enc in zip(fns, encs):
+            vals = np.asarray([enc.encode(f(x)) for x in range(m)],
+                              np.uint32)
+            tables.append(np.asarray(self._build(vals))[1])    # B row (n,)
+        idx = np.arange(n)
+        base = (idx >> theta) << theta
+        res = idx & ((1 << theta) - 1)
+        raw = np.zeros((n,), np.uint32)
+        for t in range(1 << theta):
+            src = tables[min(t, k - 1)]
+            sel = res == t
+            raw[sel] = src[base[sel]]
+        lut = np.zeros((2, n), np.uint32)
+        lut[1] = raw
+        return jnp.asarray(lut)
+
     def mod_switch(self, x) -> int:
         """Torus -> [0, lut_size) with rounding (lut/generator.go:157-168).
 

@@ -62,6 +62,55 @@ def ripple_carry_add(ck: CloudKey, a_bits: Array,
 # PBS nibble adder (examples/add_two_numbers/main.go).
 # ---------------------------------------------------------------------------
 
+def full_adder_manylut(ck: CloudKey, a: Array, b: Array,
+                       carry_in: Array) -> Tuple[Array, Array]:
+    """One-bit full adder in ONE bootstrap via multi-LUT extraction
+    (engine.bootstrap_many) — vs 5 bootstraps for the boolean-gate form.
+
+    Inputs are bits encrypted as MESSAGES in the modulus-8 space
+    (cipher.lwe_encrypt_message(bit, 8, ...)): the linear sum a+b+cin has
+    phase (a+b+cin)/16 in [0, 1/4] — entirely inside the first torus
+    half, so both output functions (sum = s&1, carry = s>>1) avoid the
+    negacyclic antisymmetry constraint that blocks XOR in the +-1/8
+    boolean encoding.  One coarse (theta=1) blind rotation; extraction
+    index 0 is the sum bit, index 1 the carry, both re-encoded in the
+    same modulus-8 space so stages chain.
+    """
+    from .. import engine
+
+    gen = lut.Generator(ck.params, 8)
+    mlut = gen.gen_multi_lut(
+        [lambda x: x & 1, lambda x: (x >> 1) & 1], theta=1)
+    t = a + b + carry_in
+    out = engine.bootstrap_many(ck, t, mlut, k=2, theta=1)
+    return out[0], out[1]
+
+
+def ripple_add_manylut(ck: CloudKey, a_bits: Array,
+                       b_bits: Array) -> Tuple[Array, Array]:
+    """Ripple-carry addition at ONE bootstrap per bit position (vs 5 for
+    :func:`ripple_carry_add`) using the many-LUT full adder.
+
+    a_bits, b_bits: (..., nbits, lwe_n+1), bits encrypted as modulus-8
+    messages.  Returns (sum_bits, carry_out) in the same encoding.
+    """
+    from .. import engine
+
+    gen = lut.Generator(ck.params, 8)
+    mlut = gen.gen_multi_lut(
+        [lambda x: x & 1, lambda x: (x >> 1) & 1], theta=1)
+    nbits = a_bits.shape[-2]
+    batch = a_bits.shape[:-2]
+    carry = jnp.zeros(batch + (ck.params.lwe_n + 1,), jnp.uint32)
+    outs = []
+    for i in range(nbits):
+        t = a_bits[..., i, :] + b_bits[..., i, :] + carry
+        res = engine.bootstrap_many(ck, t, mlut, k=2, theta=1)
+        outs.append(res[0])
+        carry = res[1]
+    return jnp.stack(outs, axis=-2), carry
+
+
 def make_adder_luts(ck: CloudKey):
     """The three LUTs of the nibble method
     (examples/add_two_numbers/main.go:54-76): low-sum mod 16, carry, high-sum

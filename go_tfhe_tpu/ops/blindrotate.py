@@ -47,10 +47,20 @@ Array = jax.Array
 FUSED_STEP = False
 
 
-def mod_switch_2n(x_u32: Array, p: TFHEParams) -> Array:
-    """Torus -> [0, 2N] rounding mod-switch; returns int32."""
-    return ((x_u32 + jnp.uint32(p.mod_switch_offset))
-            >> jnp.uint32(p.mod_switch_shift)).astype(jnp.int32)
+def mod_switch_2n(x_u32: Array, p: TFHEParams, theta: int = 0) -> Array:
+    """Torus -> [0, 2N] rounding mod-switch; returns int32.
+
+    ``theta > 0`` rounds to MULTIPLES of 2^theta (the PBSmanyLUT coarse
+    mod-switch): the blind rotation then lands on a 2^theta-aligned
+    position, so accumulator coefficients 0..2^theta-1 read an
+    interleaved multi-function test vector (lut.Generator.gen_multi_lut)
+    and one rotation yields up to 2^theta function outputs via
+    sample extraction at those indices.  Costs 2^theta x the mod-switch
+    rounding noise (engine.bootstrap_many docstring)."""
+    shift = p.mod_switch_shift + theta
+    off = 1 << (shift - 1)
+    coarse = (x_u32 + jnp.uint32(off)) >> jnp.uint32(shift)
+    return (coarse << jnp.uint32(theta)).astype(jnp.int32)
 
 
 def mod_switch_general(x_u32: Array, modulus: int) -> Array:
@@ -70,8 +80,10 @@ def mod_switch_general(x_u32: Array, modulus: int) -> Array:
 
 
 def blind_rotate(p: TFHEParams, bsk_bands: Array, ct: Array,
-                 testvec: Array) -> Array:
+                 testvec: Array, theta: int = 0) -> Array:
     """Blind-rotate a batch of LWE ciphertexts (portable path).
+    ``theta``: coarse mod-switch exponent for multi-LUT extraction
+    (mod_switch_2n).
 
     bsk_bands: (n_lwe, 2L, 2, 2N) int32 signed D bands from keygen.
     ct:        (..., n_lwe+1) uint32 LWE ciphertexts (last word = b).
@@ -91,11 +103,11 @@ def blind_rotate(p: TFHEParams, bsk_bands: Array, ct: Array,
     rot = (monomial_mul_log if jax.default_backend() == "tpu"
            else monomial_mul)
 
-    b_tilda = 2 * p.n - mod_switch_2n(ct[..., n_lwe], p)       # (...,)
+    b_tilda = 2 * p.n - mod_switch_2n(ct[..., n_lwe], p, theta)   # (...,)
     acc = rot(
         jnp.broadcast_to(testvec, lead + (2, p.n)), b_tilda[..., None])
 
-    a_tilda = mod_switch_2n(ct[..., :n_lwe], p)                # (..., n_lwe)
+    a_tilda = mod_switch_2n(ct[..., :n_lwe], p, theta)         # (..., n_lwe)
 
     def body(i, acc):
         rotated = rot(acc, a_tilda[..., i][..., None])
@@ -396,7 +408,7 @@ def blind_rotate_tpu(p: TFHEParams, bsk_band: Array, ct: Array,
 
 
 def blind_rotate_t(p: TFHEParams, bsk_band_rev: Array, ct: Array,
-                   testvec: Array, tb: int = 256) -> Array:
+                   testvec: Array, tb: int = 256, theta: int = 0) -> Array:
     """TRANSPOSED per-bit TPU fast path (ops/pallas_t.py) — bit-exact with
     :func:`blind_rotate` / :func:`blind_rotate_tpu`, measured 698 vs 729
     us/step at bench shapes (coefficients on sublanes make the log-
@@ -416,7 +428,7 @@ def blind_rotate_t(p: TFHEParams, bsk_band_rev: Array, ct: Array,
     lo = p.kernel_limb_drop if nd == 1 else 0
     limb_mag = min(p.half_bg, 128)
 
-    b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p)          # (B,)
+    b_tilda = 2 * p.n - mod_switch_2n(ct[:, n_lwe], p, theta)   # (B,)
     if testvec.ndim == 2:
         tv = jnp.broadcast_to(testvec[:, None, :], (2, b, p.n))
     else:
@@ -424,7 +436,7 @@ def blind_rotate_t(p: TFHEParams, bsk_band_rev: Array, ct: Array,
     acc = monomial_mul_log(tv, b_tilda[None, :])                # (2, B, N)
     acc = jnp.swapaxes(acc, 1, 2)                               # (2, N, B)
 
-    a_tilda = mod_switch_2n(ct[:, :n_lwe], p)                   # (B, n_lwe)
+    a_tilda = mod_switch_2n(ct[:, :n_lwe], p, theta)            # (B, n_lwe)
 
     def body(i, acc):
         band_i = lax.dynamic_index_in_dim(bsk_band_rev, i, 0, False)
