@@ -64,6 +64,32 @@ def ORYN(ck: CloudKey, a: Array, b: Array) -> Array:
     return engine.bootstrap(ck, engine.prepare_oryn(a, b))
 
 
+def AND_OR(ck: CloudKey, a: Array, b: Array) -> tuple[Array, Array]:
+    """(a AND b, a OR b) from ONE bootstrap via multi-LUT extraction
+    (engine.bootstrap_many) — no reference equivalent.
+
+    Both gates are sign-threshold functions of the SAME linear phase
+    t = a + b in {-1/4, 0, +1/4} (thresholds +-1/8), so unlike XOR they
+    satisfy the negacyclic antisymmetry the shared rotation requires.  On
+    the modulus-8 message grid t lands exactly on message centers 0 / 4 /
+    "virtual 12" (whose readout is the negated message-4 entry — which is
+    exactly the False encoding both functions need there).  Outputs are
+    standard +-1/8 booleans, so results compose with every other gate.
+    Noise: theta=1 coarse mod switch, measured 8.2 sigma at 128bit_fast
+    (NOISE_MANY_r05.json).
+    """
+    from . import lut as _lut
+
+    gen = _lut.Generator(ck.params, 8)
+    out_enc = _lut.Encoder(8, 1.0 / 8)        # 1 -> +1/8, 7 -> -1/8
+    mlut = gen.gen_multi_lut(
+        [lambda x: 1 if x == 4 else 7,         # AND: only t = +1/4
+         lambda x: 1 if x in (0, 4) else 7],   # OR: t = 0 or +1/4
+        theta=1, encoders=[out_enc, out_enc])
+    out = engine.bootstrap_many(ck, a + b, mlut, k=2, theta=1)
+    return out[0], out[1]
+
+
 def NOT(a: Array) -> Array:
     """Negation — no bootstrap needed (gates/gates.go:117-119)."""
     return jnp.zeros_like(a) - a

@@ -138,3 +138,28 @@ def test_bootstrap_many_pallas_matches_portable():
                                                    ck.bsk_band_rev, ck.ksk,
                                                    ct, mlut))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_gates_and_or_single_bootstrap(fast_keys):
+    """gates.AND_OR: both truth tables from one bootstrap, outputs valid
+    +-1/8 booleans that compose with ordinary gates."""
+    from go_tfhe_tpu import gates
+
+    p, sk, ck = fast_keys
+    bits_a = np.array([False, False, True, True])
+    bits_b = np.array([False, True, False, True])
+    ka, kb = jax.random.split(jax.random.PRNGKey(15))
+    ct_a = cipher.lwe_encrypt_bool(ka, bits_a, p.lwe_alpha, sk.lv0)
+    ct_b = cipher.lwe_encrypt_bool(kb, bits_b, p.lwe_alpha, sk.lv0)
+    and_ct, or_ct = gates.AND_OR(ck, ct_a, ct_b)
+    np.testing.assert_array_equal(
+        np.asarray(cipher.lwe_decrypt_bool(and_ct, sk.lv0)),
+        bits_a & bits_b)
+    np.testing.assert_array_equal(
+        np.asarray(cipher.lwe_decrypt_bool(or_ct, sk.lv0)),
+        bits_a | bits_b)
+    # composability: NAND of the two outputs through the normal gate path
+    nand = gates.NAND(ck, and_ct, or_ct)
+    np.testing.assert_array_equal(
+        np.asarray(cipher.lwe_decrypt_bool(nand, sk.lv0)),
+        ~((bits_a & bits_b) & (bits_a | bits_b)))
