@@ -101,7 +101,33 @@ def COPY(a: Array) -> Array:
 
 
 def MUX(ck: CloudKey, sel: Array, then_ct: Array, else_ct: Array) -> Array:
-    """sel ? then : else, composed from 3 gates (gates/gates.go:107-114)."""
+    """sel ? then : else in TWO bootstraps (the original TFHE gate-
+    bootstrapping MUX; the reference composes 3 full gates instead,
+    gates/gates.go:107-114, despite shipping the needed
+    bootstrapWithoutKeySwitch helper, gates.go:145-149).
+
+    The branches u1 = sel AND then, u2 = NOT(sel) AND else are DISJOINT
+    (never both true), so their OR is exact linear algebra: u1 + u2 + 1/8
+    maps {one true: 0, none: -1/4} to +-1/8.  Both branch bootstraps skip
+    the key switch; the sum gets ONE key switch at the end — 2 bootstraps
+    + 1 key switch vs 3 + 3.  Output noise is sqrt(2) x a single
+    bootstrap's (two fresh outputs summed) — far inside the 2^29 margin
+    at every shipped profile (NOISE_r05: sigma_b ~ 2^23.9 at
+    128bit_fast)."""
+    from .ops.keyswitch import identity_key_switch
+
+    u1 = engine.bootstrap_without_key_switch(
+        ck, engine.prepare_and(sel, then_ct))
+    u2 = engine.bootstrap_without_key_switch(
+        ck, engine.prepare_andny(sel, else_ct))
+    summed = (u1 + u2).at[..., -1].add(jnp.uint32(f64_to_torus(0.125)))
+    return identity_key_switch(ck.params, ck.ksk, summed)
+
+
+def MUX_3GATE(ck: CloudKey, sel: Array, then_ct: Array,
+              else_ct: Array) -> Array:
+    """The reference's 3-gate MUX composition (gates/gates.go:107-114),
+    kept for parity comparison."""
     and_ab = AND(ck, sel, then_ct)
     and_nac = AND(ck, NOT(sel), else_ct)
     return OR(ck, and_ab, and_nac)

@@ -79,6 +79,15 @@ def test_mux_all_combos(fast_keys):
     out = gates.MUX(ck, cs, ca, cb)
     dec = np.asarray(cipher.lwe_decrypt_bool(out, sk.lv0))
     np.testing.assert_array_equal(dec, np.where(sel, a, b))
+    # MUX output composes with ordinary gates (it is noisier than a
+    # fresh bootstrap output: two summed branch bootstraps + key switch)
+    dec2 = np.asarray(cipher.lwe_decrypt_bool(
+        gates.AND(ck, out, cs), sk.lv0))
+    np.testing.assert_array_equal(dec2, np.where(sel, a, b) & sel)
+    # and the reference's 3-gate composition agrees (gates/gates.go:107)
+    dec3 = np.asarray(cipher.lwe_decrypt_bool(
+        gates.MUX_3GATE(ck, cs, ca, cb), sk.lv0))
+    np.testing.assert_array_equal(dec3, np.where(sel, a, b))
 
 
 def test_gate_composition(fast_keys, enc):
