@@ -31,9 +31,14 @@ from .utils.torus import f64_to_torus
 
 Array = jax.Array
 
-# Batch granularity of the Pallas blind rotate (the kernels' default
-# batch tile; blind_rotate_*_tpu auto-shrink tb for smaller batches).
-_TPU_BATCH_TILE = 256
+# Pad granularity for the Pallas fast paths (the kernels auto-shrink
+# their batch tile tb to divide the padded batch; 128 lanes is the
+# hardware minimum).  128 instead of 256 halves the padded work for
+# small batches: measured batch-1 gate latency 40.3 -> 25.6 ms at
+# 128bit_fast (round 5) — ~5x the reference CPU's single-gate speed —
+# while large batches are unaffected (tb stays 256 whenever it divides
+# the batch).
+_TPU_BATCH_TILE = 128
 
 # Route block-binary keys through the fused BLOCK rotation kernel instead
 # of the per-bit transposed path.  OFF by default since round 4: the
