@@ -287,13 +287,13 @@ def bootstrap_many(ck: CloudKey, ct: Array, multi_lut: Array, k: int,
     wider-margin profile.  Re-measure (tools/noise_many.py) before using
     theta > 0 on the floor-gadget reference profiles.
 
-    ct: (..., lwe_n+1); multi_lut: (2, N) shared test vector.
+    ct: (..., lwe_n+1); multi_lut: (2, N) shared, or (..., 2, N)
+    per-ciphertext multi-LUTs (heterogeneous function sets in one batch).
     Returns (k, ..., lwe_n+1) — output t is f_t of the common phase.
     """
     p = ck.params
     assert p.poly_extend_factor == 1, "many-LUT needs a plain (N) profile"
     assert 1 <= k <= 1 << theta
-    assert multi_lut.ndim == 2, "bootstrap_many takes a shared (2, N) LUT"
     choice = _tpu_core_choice(ck)
     use_t = choice is not None and ck.bsk_band_rev is not None
     if not use_t:
@@ -304,12 +304,18 @@ def bootstrap_many(ck: CloudKey, ct: Array, multi_lut: Array, k: int,
     for d in lead:
         b *= d
     ct2 = ct.reshape((b, ct.shape[-1]))
+    tv = multi_lut
+    if tv.ndim > 2:
+        tv = tv.reshape((b, 2, tv.shape[-1]))
     pad = (-b) % _TPU_BATCH_TILE
     if pad:
         ct2 = jnp.concatenate(
             [ct2, jnp.zeros((pad, ct.shape[-1]), ct.dtype)], axis=0)
+        if tv.ndim > 2:
+            tv = jnp.concatenate(
+                [tv, jnp.zeros((pad,) + tv.shape[1:], tv.dtype)], axis=0)
     out = _bootstrap_core_many_t(p, key_switch, k, theta, ck.bsk_band_rev,
-                                 ck.ksk, ct2, multi_lut)
+                                 ck.ksk, ct2, tv)
     if pad:
         out = out[:, :b]
     return out.reshape((k,) + lead + out.shape[2:])

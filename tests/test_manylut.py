@@ -163,3 +163,26 @@ def test_gates_and_or_single_bootstrap(fast_keys):
     np.testing.assert_array_equal(
         np.asarray(cipher.lwe_decrypt_bool(nand, sk.lv0)),
         ~((bits_a & bits_b) & (bits_a | bits_b)))
+
+
+def test_bootstrap_many_per_ciphertext_luts(pbs_keys):
+    """Per-ciphertext multi-LUT batches: different function PAIRS per
+    ciphertext in one call (inexpressible upstream even for k=1)."""
+    p, sk, ck = pbs_keys
+    m = p.message_modulus
+    gen = lut.Generator(p)
+    mlut_a = gen.gen_multi_lut([lambda x: x, lambda x: (x + 1) % (m // 2)],
+                               theta=1)
+    mlut_b = gen.gen_multi_lut([lambda x: (2 * x) % (m // 2), lambda x: 0],
+                               theta=1)
+    msgs = np.asarray([1, 2, 3, 1])
+    ct = cipher.lwe_encrypt_message(jax.random.PRNGKey(17), msgs, m,
+                                    p.lwe_alpha, sk.lv0)
+    luts = jnp.stack([mlut_a, mlut_b, mlut_a, mlut_b])
+    out = engine.bootstrap_many(ck, ct, luts, k=2, theta=1)
+    got0 = np.asarray(cipher.lwe_decrypt_message(out[0], m, sk.lv0))
+    got1 = np.asarray(cipher.lwe_decrypt_message(out[1], m, sk.lv0))
+    # per-ct fn0: id(1), (2*2)%4=0, id(3), (2*1)%4=2
+    np.testing.assert_array_equal(got0, [1, 0, 3, 2])
+    # per-ct fn1: (1+1)%4=2, 0, (3+1)%4=0, 0
+    np.testing.assert_array_equal(got1, [2, 0, 0, 0])
