@@ -11,7 +11,7 @@ from . import params as params_module
 from . import proxyreenc, utils
 from .cipher import (lwe_decrypt_bool, lwe_decrypt_message, lwe_encrypt_bool,
                      lwe_encrypt_message, lwe_encrypt_torus)
-from .engine import bootstrap, bootstrap_without_key_switch
+from .engine import bootstrap, bootstrap_many, bootstrap_without_key_switch
 from .keys import (CloudKey, SecretKey, gen_cloud_key, gen_cloud_key_no_ksk,
                    gen_secret_key, load_cloud_key, load_secret_key,
                    save_cloud_key, save_secret_key)
