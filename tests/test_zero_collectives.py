@@ -41,6 +41,16 @@ def _partitioned_hlo(mesh, ck, ct):
     return lowered.compile().as_text()
 
 
+def _partitioned_hlo_many(mesh, ck, ct):
+    """Same check for the many-LUT core (engine.bootstrap_many)."""
+    ck_r = meshlib.replicate_keys(mesh, ck)
+    ct_s = meshlib.shard_batch(mesh, ct)
+    p = ck.params
+    lowered = engine._bootstrap_core_many.lower(
+        p, True, 2, 1, ck_r.bsk_kernel, ck_r.ksk, ct_s, ck_r.testvec)
+    return lowered.compile().as_text()
+
+
 def test_sharded_bootstrap_has_zero_collectives(fast_keys):
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     mesh = meshlib.make_mesh()
@@ -59,6 +69,20 @@ def test_sharded_bootstrap_has_zero_collectives(fast_keys):
     bad = [ln.strip() for ln in hlo.splitlines() if _OP_RE.search(ln)]
     assert not bad, (
         "collectives found in the partitioned bootstrap HLO:\n"
+        + "\n".join(bad[:20]))
+
+
+def test_sharded_bootstrap_many_has_zero_collectives(fast_keys):
+    """The multi-LUT bootstrap (k=2 extractions + batched key switch)
+    also partitions into a fully local per-chip program."""
+    mesh = meshlib.make_mesh()
+    p, sk, ck = fast_keys
+    ct = jnp.zeros((16, p.lwe_n + 1), jnp.uint32)
+    hlo = _partitioned_hlo_many(mesh, ck, ct)
+    assert re.search(r"\bwhile\(", hlo) or " while(" in hlo
+    bad = [ln.strip() for ln in hlo.splitlines() if _OP_RE.search(ln)]
+    assert not bad, (
+        "collectives found in the partitioned many-LUT bootstrap HLO:\n"
         + "\n".join(bad[:20]))
 
 
