@@ -486,8 +486,21 @@ def security_info(p: TFHEParams) -> str:
         "110bit": "110-bit security (balanced, original TFHE)",
         "128bit": "128-bit security (high security, quantum-resistant)",
     }
-    if p.name.startswith("uint"):
-        bits = p.name[4:]
+    base = p.name
+    suffix = ""
+    if base.endswith("_fast"):
+        base = base[:-5]
+        suffix = (" [TPU-tuned CloudKey: bgbit=8/l=2 gadget, centered "
+                  "decomposition, on-grid q=2^24 BSK — same crypto "
+                  "parameters as the base profile, see SECURITY.md]")
+    elif base.endswith("_centered"):
+        base = base[:-9]
+        suffix = (" [centered gadget decomposition: zero-mean "
+                  "representation error, same crypto parameters]")
+    if base.startswith("uint"):
+        bits = base[4:]
         return (f"Uint{bits} parameters ({bits}-bit messages, "
-                f"messageModulus={p.message_modulus}, N={p.n})")
-    return descs.get(p.name, f"{p.name} (custom profile)")
+                f"messageModulus={p.message_modulus}, N={p.n})" + suffix)
+    if base in descs:
+        return descs[base] + suffix
+    return f"{p.name} (custom profile)"
