@@ -67,3 +67,19 @@ def encrypt_bits(rng: Array, bits, alpha: float, key_u32: Array) -> Array:
 
 def decrypt_bits(cts: Array, key_u32: Array) -> Array:
     return cipher.lwe_decrypt_bool(cts, key_u32)
+
+
+def encrypt_bits_messages(rng: Array, bits, alpha: float,
+                          key_u32: Array) -> Array:
+    """Bits encrypted as MODULUS-8 messages — the encoding the many-LUT
+    full adder consumes (models/adders.full_adder_manylut: the sum phase
+    (a+b+cin)/16 stays in the first torus half).  (..., nbits) ints/bools
+    -> (..., nbits, lwe_n+1)."""
+    return cipher.lwe_encrypt_message(
+        rng, jnp.asarray(bits, jnp.int32), 8, alpha, key_u32)
+
+
+def decrypt_bits_messages(cts: Array, key_u32: Array) -> Array:
+    """Inverse of :func:`encrypt_bits_messages`: returns boolean bits
+    (message & 1 guards against a carried-in 2 from adder outputs)."""
+    return (cipher.lwe_decrypt_message(cts, 8, key_u32) & 1) > 0

@@ -39,3 +39,32 @@ def test_encrypt_decrypt_bits():
     assert ct.shape == (8, p.lwe_n + 1)
     dec = np.asarray(bitutils.decrypt_bits(ct, sk.lv0))
     assert bitutils.bits_to_u8(dec) == 0xA7
+
+
+def test_message_bit_roundtrip():
+    """Modulus-8 bit encoding (the many-LUT adder encoding) round-trips
+    and feeds ripple_add_manylut end-to-end."""
+    import jax
+    import numpy as np
+    import go_tfhe_tpu as tfhe
+    from go_tfhe_tpu import bitutils
+    from go_tfhe_tpu.models import adders
+
+    p = tfhe.TEST_NIBBLE
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(41), 3)
+    sk = tfhe.gen_secret_key(k1, p)
+    bits = np.array([True, False, True, True])
+    ct = bitutils.encrypt_bits_messages(k3, bits, p.lwe_alpha, sk.lv0)
+    got = np.asarray(bitutils.decrypt_bits_messages(ct, sk.lv0))
+    np.testing.assert_array_equal(got, bits)
+
+    ck = tfhe.gen_cloud_key(k2, sk, p)
+    kb = jax.random.fold_in(k3, 1)
+    other = np.array([False, True, True, False])        # 13 + 6 = 19
+    ct_b = bitutils.encrypt_bits_messages(kb, other, p.lwe_alpha, sk.lv0)
+    s_bits, carry = adders.ripple_add_manylut(ck, ct, ct_b)
+    s = np.asarray(bitutils.decrypt_bits_messages(s_bits, sk.lv0))
+    cout = bool(np.asarray(bitutils.decrypt_bits_messages(
+        carry[None], sk.lv0))[0])
+    total = bitutils.from_bits(s) | (int(cout) << 4)
+    assert total == 13 + 6, (s.tolist(), cout)
